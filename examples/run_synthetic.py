@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Run stereo SLAM end-to-end on the synthetic world and report ATE.
+
+The synthetic analog of the reference's Examples/Stereo/stereo_euroc.cc
+driver: renders a known trajectory, tracks it, prints per-stage behavior
+and the trajectory error. Usage:
+
+    python examples/run_synthetic.py [--frames 60] [--cpu] [--local-mapping]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--local-mapping", action="store_true")
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    import numpy as np
+
+    from orbslam2_tpu.config import CameraConfig, OrbConfig, SlamConfig
+    from orbslam2_tpu.datasets.synthetic import SyntheticWorld
+    from orbslam2_tpu.evaluation.ate import ate_rmse
+    from orbslam2_tpu.slam.frontend import Frontend
+    from orbslam2_tpu.slam.map import SlamMap
+    from orbslam2_tpu.slam.tracking import Tracker
+
+    world = SyntheticWorld(n_points=900, seed=args.seed, baseline=0.2)
+    cfg = SlamConfig(
+        camera=CameraConfig(
+            fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+            bf=world.bf, width=world.width, height=world.height, fps=20.0,
+        ),
+        orb=OrbConfig(n_features=1200),
+    )
+    frontend = Frontend(cfg)
+    slam_map = SlamMap(cfg.orb.n_features)
+    tracker = Tracker(cfg, frontend, slam_map)
+    if args.local_mapping:
+        from orbslam2_tpu.slam.local_mapping import LocalMapper
+
+        tracker.local_mapper = LocalMapper(cfg, frontend, slam_map)
+
+    print(f"devices: {jax.devices()}")
+    poses_gt, frames = world.render_sequence(args.frames, step=0.06)
+
+    est, times = [], []
+    for i, (imL, imR) in enumerate(frames):
+        t0 = time.time()
+        Tcw = tracker.track(imL, imR, timestamp=i / 20.0)
+        times.append(time.time() - t0)
+        est.append(Tcw)
+        if i % 20 == 0:
+            print(
+                f"frame {i}: state={tracker.state.name} "
+                f"kps={tracker.last_frame.n_keypoints} "
+                f"inliers={tracker.n_inliers} kfs={slam_map.n_keyframes()} "
+                f"pts={len(slam_map.pt_valid)} {1e3*times[-1]:.0f}ms"
+            )
+
+    pairs = [(g, e) for g, e in zip(poses_gt, est) if e is not None]
+    gt_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for T, _ in pairs])
+    est_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for _, T in pairs])
+    rmse = ate_rmse(est_xyz, gt_xyz)
+    t = np.array(times[5:])
+    print(
+        f"\ntracked {len(pairs)}/{len(frames)} frames | "
+        f"ATE RMSE {rmse*100:.2f} cm over {np.linalg.norm(gt_xyz[-1]-gt_xyz[0]):.1f} m | "
+        f"keyframes {slam_map.n_keyframes()} points {len(slam_map.pt_valid)}"
+    )
+    print(f"per-frame: mean {t.mean()*1e3:.1f}ms median {np.median(t)*1e3:.1f}ms -> {1/t.mean():.1f} fps")
+    return 0 if rmse < 0.10 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,159 @@
+"""Synthetic textured stereo world for tests and benchmarks.
+
+The reference validates end-to-end against EuRoC golden runs
+(reference result/ + result_analysis.py). EuRoC imagery is not available
+in this environment, so tests render a controlled 3D world instead:
+textured square sprites at known 3D positions, projected into a rectified
+stereo pair along a known trajectory. Each sprite is drawn fronto-parallel
+and shifted by its true disparity in the right eye, so sprite corners are
+geometrically consistent stereo features with exactly known ground truth.
+
+Rendering is host-side numpy (test-time IO, not a compute path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from scipy import ndimage
+
+from ..geometry import camera as cam_mod
+
+
+@dataclass
+class SyntheticWorld:
+    n_points: int = 700
+    seed: int = 0
+    width: int = 752
+    height: int = 480
+    fx: float = 458.654
+    fy: float = 457.296
+    cx: float = 367.215
+    cy: float = 248.375
+    baseline: float = 0.11  # meters (EuRoC-like; bf = fx * b ≈ 50.4)
+    depth_range: tuple = (4.0, 25.0)
+    lateral_extent: float = 14.0
+    vertical_extent: float = 8.0
+    sprite_world_size: float = 0.55  # meters; on-screen size = f*s/z
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        n = self.n_points
+        self.points = np.stack(
+            [
+                rng.uniform(-self.lateral_extent, self.lateral_extent, n),
+                rng.uniform(-self.vertical_extent, self.vertical_extent, n),
+                rng.uniform(self.depth_range[0], self.depth_range[1] + 20.0, n),
+            ],
+            axis=1,
+        ).astype(np.float64)
+        # per-sprite 4x4 binary texture and intensity
+        self.textures = rng.integers(0, 2, size=(n, 4, 4)).astype(np.float64)
+        self.tex_lo = rng.uniform(10, 80, n)
+        self.tex_hi = rng.uniform(170, 245, n)
+        # smooth background: upsampled coarse noise
+        coarse = rng.uniform(90, 150, (self.height // 40 + 2, self.width // 40 + 2))
+        ys = np.linspace(0, coarse.shape[0] - 1.001, self.height)
+        xs = np.linspace(0, coarse.shape[1] - 1.001, self.width)
+        yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
+        fy_, fx_ = ys - yi, xs - xi
+        bg = (
+            coarse[yi][:, xi] * (1 - fy_)[:, None] * (1 - fx_)[None, :]
+            + coarse[yi + 1][:, xi] * fy_[:, None] * (1 - fx_)[None, :]
+            + coarse[yi][:, xi + 1] * (1 - fy_)[:, None] * fx_[None, :]
+            + coarse[yi + 1][:, xi + 1] * fy_[:, None] * fx_[None, :]
+        )
+        self.background = bg
+
+    @property
+    def bf(self) -> float:
+        return self.fx * self.baseline
+
+    def camera(self):
+        return cam_mod.make_camera(
+            self.fx, self.fy, self.cx, self.cy, bf=self.bf,
+            width=self.width, height=self.height,
+        )
+
+    def trajectory(self, n_frames: int, step: float = 0.05):
+        """Forward motion with gentle lateral sway and yaw.
+
+        Returns list of Tcw (world->camera) 4x4 float32.
+        """
+        poses = []
+        for i in range(n_frames):
+            t = i * step
+            # camera center in world coords
+            c = np.array([0.6 * np.sin(0.12 * i), 0.15 * np.sin(0.07 * i), t])
+            yaw = 0.03 * np.sin(0.05 * i)
+            cy_, sy_ = np.cos(yaw), np.sin(yaw)
+            Rwc = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+            Rcw = Rwc.T
+            tcw = -Rcw @ c
+            T = np.eye(4)
+            T[:3, :3] = Rcw
+            T[:3, 3] = tcw
+            poses.append(T.astype(np.float32))
+        return poses
+
+    def render_stereo(self, Tcw: np.ndarray, return_id_map: bool = False):
+        """Render (imL, imR) float32 [H,W] in 0..255 for camera pose Tcw.
+
+        With return_id_map, also returns an int32 [H,W] map of which sprite
+        index owns each left-image pixel (-1 background) — ground truth for
+        association in tests.
+        """
+        H, W = self.height, self.width
+        imL = self.background.copy()
+        imR = self.background.copy()
+        id_map = np.full((H, W), -1, np.int32)
+        Rcw, tcw = Tcw[:3, :3].astype(np.float64), Tcw[:3, 3].astype(np.float64)
+        pc = self.points @ Rcw.T + tcw
+        z = pc[:, 2]
+        order = np.argsort(-z)  # painter: far first
+        for i in order:
+            zi = z[i]
+            if zi < 0.5:
+                continue
+            u = self.fx * pc[i, 0] / zi + self.cx
+            v = self.fy * pc[i, 1] / zi + self.cy
+            disp = self.bf / zi
+            size = int(round(self.fx * self.sprite_world_size / zi))
+            if size < 6:
+                continue
+            half = size // 2
+            tex = np.kron(
+                self.textures[i],
+                np.ones((max(size // 4, 1), max(size // 4, 1))),
+            )
+            tex = tex[:size, :size]
+            sprite = self.tex_lo[i] + tex * (self.tex_hi[i] - self.tex_lo[i])
+            for img, uu in ((imL, u), (imR, u - disp)):
+                # subpixel placement: bilinear-shift the sprite by the
+                # fractional offset so stereo disparity is not quantized
+                # to whole pixels by the renderer.
+                rf = v - half
+                cf = uu - half
+                r0, c0 = int(np.floor(rf)), int(np.floor(cf))
+                sh = ndimage.shift(
+                    sprite, (rf - r0, cf - c0), order=1, mode="nearest"
+                )
+                r1, c1 = r0 + sh.shape[0], c0 + sh.shape[1]
+                rr0, cc0 = max(r0, 0), max(c0, 0)
+                rr1, cc1 = min(r1, H), min(c1, W)
+                if rr1 <= rr0 or cc1 <= cc0:
+                    continue
+                img[rr0:rr1, cc0:cc1] = sh[
+                    rr0 - r0 : rr1 - r0, cc0 - c0 : cc1 - c0
+                ]
+                if img is imL:
+                    id_map[rr0:rr1, cc0:cc1] = i
+        if return_id_map:
+            return imL.astype(np.float32), imR.astype(np.float32), id_map
+        return imL.astype(np.float32), imR.astype(np.float32)
+
+    def render_sequence(self, n_frames: int, step: float = 0.05):
+        poses = self.trajectory(n_frames, step)
+        frames = [self.render_stereo(T) for T in poses]
+        return poses, frames

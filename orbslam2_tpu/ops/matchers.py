@@ -1,0 +1,271 @@
+"""Data-association kernels: stereo matching, projection matching,
+rotation-consistency filtering.
+
+Each reference ORBmatcher entry point (src/ORBmatcher.cpp) that walks
+per-feature candidate lists becomes a dense masked all-pairs problem:
+build the [N, M] Hamming matrix once, AND together the geometric gates
+as boolean masks, argmin. At N ≈ 1200 this is a few MFLOP-equivalent of
+VPU work per frame — far below TPU roofline, and free of host loops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import hamming
+
+HISTO_BINS = 30  # rotation histogram bins (reference ORBmatcher HISTO_LENGTH)
+TWO_PI = 6.283185307179586
+
+
+# ---------------------------------------------------------------------------
+# rotation consistency (reference ComputeThreeMaxima, ORBmatcher.cpp:1446-1487)
+# ---------------------------------------------------------------------------
+
+
+def rotation_consistency_mask(
+    angle_a: jax.Array, angle_b: jax.Array, match_valid: jax.Array
+) -> jax.Array:
+    """Keep only matches whose angle difference falls in the 3 dominant
+    histogram bins (with the reference's 0.1-ratio pruning of bins 2/3).
+
+    angle_a/angle_b: [N] radians for the two matched feature sets
+    match_valid: [N] bool.
+    Returns a refined [N] bool mask.
+    """
+    rot = jnp.mod(angle_a - angle_b, TWO_PI)
+    binf = jnp.round(rot * (HISTO_BINS / TWO_PI))
+    bins = jnp.mod(binf.astype(jnp.int32), HISTO_BINS)
+    hist = jnp.zeros((HISTO_BINS,), jnp.int32).at[bins].add(
+        match_valid.astype(jnp.int32)
+    )
+    top_v, top_i = jax.lax.top_k(hist, 3)
+    keep1 = top_i[0]
+    keep2 = jnp.where(top_v[1] > 0.1 * top_v[0], top_i[1], -1)
+    keep3 = jnp.where(top_v[2] > 0.1 * top_v[0], top_i[2], -1)
+    ok = (bins == keep1) | (bins == keep2) | (bins == keep3)
+    return match_valid & ok
+
+
+# ---------------------------------------------------------------------------
+# stereo matching (reference Frame::ComputeStereoMatches, src/Frame.cpp:538-673)
+# ---------------------------------------------------------------------------
+
+
+class StereoMatches(NamedTuple):
+    u_right: jax.Array  # [N] float32, -1 where unmatched
+    depth: jax.Array  # [N] float32, -1 where unmatched
+    valid: jax.Array  # [N] bool
+
+
+def stereo_match(
+    uvL: jax.Array,
+    octL: jax.Array,
+    descL: jax.Array,
+    validL: jax.Array,
+    uvR: jax.Array,
+    octR: jax.Array,
+    descR: jax.Array,
+    validR: jax.Array,
+    scale_factors: jax.Array,
+    bf: float,
+    min_z: float,
+) -> StereoMatches:
+    """Left-right ORB matching for a rectified pair.
+
+    Gates replicated from the reference: row band +-2*sigma(octave of L),
+    octave gate +-1, disparity in (0, bf/min_z], Hamming <
+    (TH_HIGH+TH_LOW)/2, and the global median-distance outlier cut at
+    1.5*1.4*median.
+    """
+    th_orb = (hamming.TH_HIGH + hamming.TH_LOW) // 2
+    max_d = bf / min_z
+
+    dist = hamming.hamming_matrix(descL, descR)  # [N,M]
+
+    vL = uvL[:, 1][:, None]
+    vR = uvR[:, 1][None, :]
+    band = jnp.abs(vR - vL) <= 2.0 * scale_factors[octL][:, None]
+
+    octave_ok = jnp.abs(octR[None, :] - octL[:, None]) <= 1
+
+    uL = uvL[:, 0][:, None]
+    uR = uvR[:, 0][None, :]
+    disp_ok = (uR >= uL - max_d) & (uR <= uL)
+
+    mask = band & octave_ok & disp_ok & validL[:, None] & validR[None, :]
+    best_idx, best_dist = hamming.masked_argmin(dist, mask)
+
+    u_right = uvR[best_idx, 0]
+    disparity = uvL[:, 0] - u_right
+    matched = (best_dist < th_orb) & (disparity >= 0.0) & (disparity < max_d)
+    # clamp near-zero disparity exactly like the reference (Frame.cpp:652-656)
+    disparity = jnp.where(disparity <= 0.0, 0.01, disparity)
+    u_right = jnp.where(disparity <= 0.01, uvL[:, 0] - 0.01, u_right)
+
+    # median-distance cut over accepted matches
+    d_acc = jnp.where(matched, best_dist, hamming.MAX_DIST)
+    n_acc = jnp.sum(matched)
+    sorted_d = jnp.sort(d_acc)
+    median = sorted_d[jnp.clip(n_acc // 2, 0, d_acc.shape[0] - 1)]
+    th_dist = 1.5 * 1.4 * median.astype(jnp.float32)
+    keep = matched & (best_dist < th_dist)
+
+    depth = jnp.where(keep, bf / disparity, -1.0)
+    return StereoMatches(
+        u_right=jnp.where(keep, u_right, -1.0),
+        depth=depth,
+        valid=keep,
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame-to-frame projection matching
+# (reference SearchByProjection(Frame&, Frame&, th), ORBmatcher.cpp:1173-1315)
+# ---------------------------------------------------------------------------
+
+
+def search_by_projection_frame(
+    uv_cur: jax.Array,  # [N,2] current-frame keypoints (level-0 coords)
+    oct_cur: jax.Array,  # [N]
+    desc_cur: jax.Array,  # [N,8]
+    valid_cur: jax.Array,  # [N]
+    angle_cur: jax.Array,  # [N]
+    uv_proj: jax.Array,  # [M,2] last-frame points projected into current
+    oct_last: jax.Array,  # [M] octave of the source keypoint
+    desc_last: jax.Array,  # [M,8] (distinctive descriptor of the point)
+    valid_proj: jax.Array,  # [M] projection valid (in image, z>0, has depth)
+    angle_last: jax.Array,  # [M]
+    scale_factors: jax.Array,
+    th: float,
+    forward: jax.Array,  # scalar bool: tz > baseline
+    backward: jax.Array,  # scalar bool: -tz > baseline
+    check_rotation: bool = True,
+):
+    """For each projected last-frame map point, find the best current-frame
+    keypoint in a radius th*sigma(oct_last) window with the reference's
+    forward/backward octave gating. Returns per-current-keypoint point index
+    ([-1 if none]) — mirroring how the reference writes matches into
+    mCurrentFrame.mvpMapPoints — plus the match distance.
+    """
+    radius = th * scale_factors[oct_last]  # [M]
+
+    du = uv_cur[:, 0][None, :] - uv_proj[:, 0][:, None]  # [M,N]
+    dv = uv_cur[:, 1][None, :] - uv_proj[:, 1][:, None]
+    window = (jnp.abs(du) <= radius[:, None]) & (jnp.abs(dv) <= radius[:, None])
+
+    oc = oct_cur[None, :]
+    ol = oct_last[:, None]
+    oct_gate = jnp.where(
+        forward,
+        oc >= ol,
+        jnp.where(
+            backward,
+            oc <= ol,
+            (oc >= ol - 1) & (oc <= ol + 1),
+        ),
+    )
+
+    dist = hamming.hamming_matrix(desc_last, desc_cur)  # [M,N]
+    mask = window & oct_gate & valid_proj[:, None] & valid_cur[None, :]
+    best_idx, best_dist = hamming.masked_argmin(dist, mask)  # per point: [M]
+    ok = best_dist <= hamming.TH_HIGH
+
+    if check_rotation:
+        ok = rotation_consistency_mask(
+            angle_last, angle_cur[best_idx], ok
+        )
+
+    # Scatter: current keypoint -> point index; resolve collisions by distance.
+    N = uv_cur.shape[0]
+    M = uv_proj.shape[0]
+    INF = hamming.MAX_DIST
+    d_eff = jnp.where(ok, best_dist, INF)
+    # min distance per current keypoint
+    per_kp_best = jnp.full((N,), INF, jnp.int32).at[best_idx].min(d_eff)
+    win = ok & (d_eff == per_kp_best[best_idx])
+    point_for_kp = jnp.full((N,), -1, jnp.int32).at[
+        jnp.where(win, best_idx, N)  # out-of-range drops via mode="drop"
+    ].set(jnp.where(win, jnp.arange(M, dtype=jnp.int32), -1), mode="drop")
+    return point_for_kp, per_kp_best
+
+
+# ---------------------------------------------------------------------------
+# local-map projection matching
+# (reference SearchByProjection(Frame&, vector<MapPoint*>&, th),
+#  ORBmatcher.cpp:16-100)
+# ---------------------------------------------------------------------------
+
+
+def search_by_projection_points(
+    uv_cur: jax.Array,  # [N,2]
+    oct_cur: jax.Array,  # [N]
+    ur_cur: jax.Array,  # [N] stereo u_right of current kps (-1 if mono)
+    desc_cur: jax.Array,  # [N,8]
+    valid_cur: jax.Array,  # [N]
+    uv_pt: jax.Array,  # [P,2] projected map points
+    ur_pt: jax.Array,  # [P] projected right-eye u
+    level_pt: jax.Array,  # [P] predicted scale level
+    view_cos: jax.Array,  # [P]
+    desc_pt: jax.Array,  # [P,8] distinctive descriptors
+    valid_pt: jax.Array,  # [P] in-frustum & to-be-searched
+    scale_factors: jax.Array,
+    th: float,
+    nn_ratio: float = 0.8,
+):
+    """Best-in-window match of local map points into the current frame with
+    the reference's gates: radius 2.5/4.0 by viewing angle, scaled by
+    sigma(predicted level), candidate octave in [pred-1, pred], ratio test
+    between best and second-best when they sit on the same pyramid level...
+    (the reference applies the ratio whenever bestLevel==bestLevel2; we do
+    the same), TH_HIGH cut, plus stereo right-coordinate agreement.
+
+    Returns per-keypoint point index [-1 none] and distances.
+    """
+    r_base = jnp.where(view_cos > 0.998, 2.5, 4.0)  # [P]
+    radius = th * r_base * scale_factors[level_pt]
+
+    du = uv_cur[:, 0][None, :] - uv_pt[:, 0][:, None]  # [P,N]
+    dv = uv_cur[:, 1][None, :] - uv_pt[:, 1][:, None]
+    window = (jnp.abs(du) <= radius[:, None]) & (jnp.abs(dv) <= radius[:, None])
+
+    oc = oct_cur[None, :]
+    pl = level_pt[:, None]
+    oct_gate = (oc >= pl - 1) & (oc <= pl)
+
+    # stereo agreement: |ur_cur - ur_pt| <= radius when both defined
+    has_stereo = ur_cur[None, :] >= 0
+    er = jnp.abs(ur_cur[None, :] - ur_pt[:, None])
+    stereo_gate = jnp.where(has_stereo, er <= radius[:, None], True)
+
+    mask = window & oct_gate & stereo_gate & valid_pt[:, None] & valid_cur[None, :]
+    dist = hamming.hamming_matrix(desc_pt, desc_cur)
+    best_idx, best, second = hamming.masked_two_smallest(dist, mask)
+
+    best_oct = oct_cur[best_idx]
+    # second-best octave: recompute with best masked out
+    one_hot_best = jax.nn.one_hot(best_idx, dist.shape[-1], dtype=bool)
+    d2 = jnp.where(mask & ~one_hot_best, dist, hamming.MAX_DIST)
+    second_idx = jnp.argmin(d2, axis=-1)
+    second_oct = oct_cur[second_idx]
+
+    ratio_applies = (best_oct == second_oct) & (second < hamming.MAX_DIST)
+    ratio_ok = jnp.where(
+        ratio_applies, best.astype(jnp.float32) <= nn_ratio * second, True
+    )
+    ok = (best <= hamming.TH_HIGH) & ratio_ok & valid_pt
+
+    N = uv_cur.shape[0]
+    P = uv_pt.shape[0]
+    INF = hamming.MAX_DIST
+    d_eff = jnp.where(ok, best, INF)
+    per_kp_best = jnp.full((N,), INF, jnp.int32).at[best_idx].min(d_eff)
+    win = ok & (d_eff == per_kp_best[best_idx])
+    point_for_kp = jnp.full((N,), -1, jnp.int32).at[
+        jnp.where(win, best_idx, N)
+    ].set(jnp.where(win, jnp.arange(P, dtype=jnp.int32), -1), mode="drop")
+    return point_for_kp, per_kp_best

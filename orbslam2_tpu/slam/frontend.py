@@ -1,0 +1,109 @@
+"""Per-frame front-end: ORB extraction + stereo matching as one device program.
+
+Replaces the reference Frame construction (src/Frame.cpp:98-135: two
+extraction threads + ComputeStereoMatches + grid assignment) with a single
+jitted launch over the stereo pair. The 64x48 feature grid
+(reference Frame.hpp:20-21) has no equivalent here: the matchers do dense
+masked candidate search, which on TPU is cheaper than bucketing.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import camera as camera_mod
+from ..ops import matchers, orb
+
+
+class FrameFeatures(NamedTuple):
+    """Device pytree: left-eye features + stereo depth. Capacity N."""
+
+    uv: jax.Array  # [N,2] level-0 coords
+    octave: jax.Array  # [N]
+    angle: jax.Array  # [N]
+    response: jax.Array  # [N]
+    desc: jax.Array  # [N,8] uint32
+    valid: jax.Array  # [N]
+    u_right: jax.Array  # [N] -1 if no stereo match
+    depth: jax.Array  # [N] -1 if no stereo match
+
+
+@dataclass
+class Frontend:
+    config: SlamConfig
+
+    def __post_init__(self):
+        c = self.config
+        self.orb_params = orb.OrbParams(
+            n_features=c.orb.n_features,
+            n_levels=c.orb.n_levels,
+            scale_factor=c.orb.scale_factor,
+            ini_th=float(c.orb.ini_th_fast),
+            min_th=float(c.orb.min_th_fast),
+        )
+        self.camera = camera_mod.make_camera(
+            c.camera.fx, c.camera.fy, c.camera.cx, c.camera.cy,
+            bf=c.camera.bf, width=c.camera.width, height=c.camera.height,
+        )
+        self.scale_factors = jnp.asarray(
+            orb.scale_factors(self.orb_params), jnp.float32
+        )
+        self.level_sigma2 = np.asarray(orb.level_sigma2(self.orb_params))
+        self.inv_level_sigma2 = jnp.asarray(1.0 / self.level_sigma2, jnp.float32)
+        bf = float(c.camera.bf)
+        baseline = float(c.baseline)
+        params = self.orb_params
+        sf = self.scale_factors
+
+        @jax.jit
+        def _process(images):
+            f = orb.extract(images, params)
+            sm = matchers.stereo_match(
+                f.uv[0], f.octave[0], f.desc[0], f.valid[0],
+                f.uv[1], f.octave[1], f.desc[1], f.valid[1],
+                sf, bf=bf, min_z=baseline,
+            )
+            return FrameFeatures(
+                uv=f.uv[0], octave=f.octave[0], angle=f.angle[0],
+                response=f.response[0], desc=f.desc[0], valid=f.valid[0],
+                u_right=sm.u_right, depth=sm.depth,
+            )
+
+        self._process = _process
+
+    def process(self, im_left: np.ndarray, im_right: np.ndarray) -> FrameFeatures:
+        images = jnp.stack(
+            [jnp.asarray(im_left, jnp.float32), jnp.asarray(im_right, jnp.float32)]
+        )
+        return self._process(images)
+
+
+class FrameHost:
+    """Host-side (numpy) snapshot of a processed frame, for map admin."""
+
+    def __init__(self, features: FrameFeatures, timestamp: float, frame_id: int):
+        self.timestamp = timestamp
+        self.frame_id = frame_id
+        self.uv = np.asarray(features.uv)
+        self.octave = np.asarray(features.octave)
+        self.angle = np.asarray(features.angle)
+        self.response = np.asarray(features.response)
+        self.desc = np.asarray(features.desc)
+        self.valid = np.asarray(features.valid)
+        self.u_right = np.asarray(features.u_right)
+        self.depth = np.asarray(features.depth)
+        n = len(self.valid)
+        self.point_ids = np.full(n, -1, np.int64)  # matched map point per kp
+        self.outlier = np.zeros(n, bool)
+        self.Tcw: Optional[np.ndarray] = None  # [4,4] float32
+
+    @property
+    def n_keypoints(self) -> int:
+        return int(self.valid.sum())

@@ -1,0 +1,332 @@
+"""Map store: keyframes, map points, covisibility, spanning tree.
+
+Functional-state redesign of the reference's pointer web (KeyFrame /
+MapPoint / Map classes, src/KeyFrame.cpp, src/MapPoint.cpp, src/Map.cpp):
+struct-of-arrays numpy state on the host with integer ids, no per-object
+mutexes (the host runtime is single-threaded per stage; device work is
+purely functional). Device kernels get dense array views assembled from
+this store.
+
+Conventions: keyframe ids and point ids are stable ints; `-1` means none.
+Deleted rows are masked via `kf_valid` / `pt_valid` (tombstones), matching
+the reference's SetBadFlag protocol (KeyFrame.cpp:443-536).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+from .frontend import FrameHost
+
+COVIS_THRESHOLD = 15  # min shared points for a covisibility edge (KeyFrame.cpp:277-368)
+
+
+def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Popcount Hamming distance between uint32-word descriptor arrays."""
+    x = np.bitwise_xor(a, b).view(np.uint8)
+    return np.unpackbits(x, axis=-1).sum(axis=-1)
+
+
+class SlamMap:
+    def __init__(self, n_kp: int, n_levels: int = 8, scale_factor: float = 1.2):
+        self.n_kp = n_kp
+        self.n_levels = n_levels
+        self.scale_factor = scale_factor
+        self.log_scale = np.log(scale_factor)
+        self.scale_factors = scale_factor ** np.arange(n_levels)
+
+        # --- keyframes (dict-of-arrays keyed by kf id) ---
+        self.kf_pose: Dict[int, np.ndarray] = {}  # Tcw [4,4]
+        self.kf_frame: Dict[int, FrameHost] = {}  # feature snapshot
+        self.kf_point: Dict[int, np.ndarray] = {}  # [N] point id per kp (-1)
+        self.kf_frame_id: Dict[int, int] = {}
+        self.kf_timestamp: Dict[int, float] = {}
+        self.kf_valid: Set[int] = set()
+        self._next_kf = 0
+
+        # covisibility + spanning tree (reference KeyFrame.cpp:110-441)
+        self.covis: Dict[int, Dict[int, int]] = {}  # kf -> {kf: weight}
+        self.parent: Dict[int, int] = {}  # spanning tree
+        self.children: Dict[int, Set[int]] = {}
+        self.loop_edges: Dict[int, Set[int]] = {}
+        self.kf_first_connection: Dict[int, bool] = {}
+        self.Tcp: Dict[int, np.ndarray] = {}  # pose relative to parent at cull time
+
+        # --- map points ---
+        self.pt_pos: Dict[int, np.ndarray] = {}  # [3]
+        self.pt_desc: Dict[int, np.ndarray] = {}  # [8] uint32
+        self.pt_normal: Dict[int, np.ndarray] = {}
+        self.pt_min_dist: Dict[int, float] = {}
+        self.pt_max_dist: Dict[int, float] = {}
+        self.pt_obs: Dict[int, Dict[int, int]] = {}  # pid -> {kf: feat_idx}
+        self.pt_ref_kf: Dict[int, int] = {}
+        self.pt_first_kf_id: Dict[int, int] = {}
+        self.pt_visible: Dict[int, int] = {}
+        self.pt_found: Dict[int, int] = {}
+        self.pt_valid: Set[int] = set()
+        self.pt_replaced: Dict[int, int] = {}  # pid -> replacement pid
+        self._next_pt = 0
+
+        self.keyframe_origins: List[int] = []
+        self.big_change_idx = 0
+
+    # ------------------------------------------------------------------
+    # keyframes
+    # ------------------------------------------------------------------
+
+    def add_keyframe(self, frame: FrameHost, Tcw: np.ndarray) -> int:
+        kf = self._next_kf
+        self._next_kf += 1
+        self.kf_pose[kf] = np.asarray(Tcw, np.float32).copy()
+        self.kf_frame[kf] = frame
+        self.kf_point[kf] = frame.point_ids.copy()
+        self.kf_frame_id[kf] = frame.frame_id
+        self.kf_timestamp[kf] = frame.timestamp
+        self.kf_valid.add(kf)
+        self.covis[kf] = {}
+        self.children[kf] = set()
+        self.loop_edges[kf] = set()
+        self.kf_first_connection[kf] = True
+        for idx in np.nonzero(frame.point_ids >= 0)[0]:
+            pid = int(frame.point_ids[idx])
+            if pid in self.pt_valid:
+                self.add_observation(pid, kf, int(idx))
+        return kf
+
+    def kf_center(self, kf: int) -> np.ndarray:
+        T = self.kf_pose[kf]
+        return (-T[:3, :3].T @ T[:3, 3]).astype(np.float64)
+
+    def n_keyframes(self) -> int:
+        return len(self.kf_valid)
+
+    def update_connections(self, kf: int):
+        """Recount shared points -> covisibility weights; maintain spanning
+        tree parent (reference KeyFrame::UpdateConnections)."""
+        counter: Dict[int, int] = {}
+        for pid in self.kf_point[kf]:
+            if pid >= 0 and pid in self.pt_valid:
+                for okf in self.pt_obs[pid]:
+                    if okf != kf and okf in self.kf_valid:
+                        counter[okf] = counter.get(okf, 0) + 1
+        if not counter:
+            return
+        best_kf = max(counter, key=counter.get)
+        best_w = counter[best_kf]
+        new_edges = {
+            okf: w for okf, w in counter.items() if w >= COVIS_THRESHOLD
+        }
+        if not new_edges:
+            new_edges = {best_kf: best_w}
+        # remove stale edges pointing at kf
+        for okf in list(self.covis[kf]):
+            if okf not in new_edges:
+                self.covis[okf].pop(kf, None)
+        self.covis[kf] = dict(new_edges)
+        for okf, w in new_edges.items():
+            self.covis[okf][kf] = w
+        if self.kf_first_connection.get(kf, True) and kf != 0:
+            self.parent[kf] = best_kf
+            self.children[best_kf].add(kf)
+            self.kf_first_connection[kf] = False
+
+    def covisible_keyframes(self, kf: int, k: Optional[int] = None) -> List[int]:
+        """Neighbors ordered by weight desc (GetBestCovisibilityKeyFrames)."""
+        items = sorted(self.covis.get(kf, {}).items(), key=lambda x: -x[1])
+        kfs = [c for c, _ in items if c in self.kf_valid]
+        return kfs if k is None else kfs[:k]
+
+    # ------------------------------------------------------------------
+    # map points
+    # ------------------------------------------------------------------
+
+    def add_point(
+        self, pos: np.ndarray, ref_kf: int, desc: np.ndarray
+    ) -> int:
+        pid = self._next_pt
+        self._next_pt += 1
+        self.pt_pos[pid] = np.asarray(pos, np.float64).copy()
+        self.pt_desc[pid] = np.asarray(desc, np.uint32).copy()
+        self.pt_normal[pid] = np.zeros(3)
+        self.pt_min_dist[pid] = 0.0
+        self.pt_max_dist[pid] = 0.0
+        self.pt_obs[pid] = {}
+        self.pt_ref_kf[pid] = ref_kf
+        self.pt_first_kf_id[pid] = ref_kf
+        self.pt_visible[pid] = 1
+        self.pt_found[pid] = 1
+        self.pt_valid.add(pid)
+        return pid
+
+    def add_observation(self, pid: int, kf: int, idx: int):
+        self.pt_obs[pid][kf] = idx
+        self.kf_point[kf][idx] = pid
+
+    def erase_observation(self, pid: int, kf: int):
+        idx = self.pt_obs[pid].pop(kf, None)
+        if idx is not None and kf in self.kf_point:
+            if self.kf_point[kf][idx] == pid:
+                self.kf_point[kf][idx] = -1
+        if self.pt_ref_kf.get(pid) == kf and self.pt_obs[pid]:
+            self.pt_ref_kf[pid] = next(iter(self.pt_obs[pid]))
+        # stereo observations count double in the reference (MapPoint.cpp:83-86);
+        # we count keyframes, and apply the 2x rule in n_observations().
+        if len(self.pt_obs[pid]) <= 1 and pid in self.pt_valid:
+            self.remove_point(pid)
+
+    def n_observations(self, pid: int) -> int:
+        """Observation count with the reference's stereo-counts-double rule."""
+        n = 0
+        for kf, idx in self.pt_obs.get(pid, {}).items():
+            if kf in self.kf_valid:
+                fr = self.kf_frame[kf]
+                n += 2 if fr.u_right[idx] >= 0 else 1
+        return n
+
+    def remove_point(self, pid: int):
+        for kf, idx in list(self.pt_obs.get(pid, {}).items()):
+            if kf in self.kf_point and self.kf_point[kf][idx] == pid:
+                self.kf_point[kf][idx] = -1
+        self.pt_obs[pid] = {}
+        self.pt_valid.discard(pid)
+
+    def replace_point(self, pid: int, by: int):
+        """MapPoint::Replace — merge pid into `by`, keeping stats."""
+        if pid == by or pid not in self.pt_valid:
+            return
+        for kf, idx in list(self.pt_obs[pid].items()):
+            if kf not in self.pt_obs[by]:
+                self.add_observation(by, kf, idx)
+            else:
+                if self.kf_point[kf][idx] == pid:
+                    self.kf_point[kf][idx] = -1
+        self.pt_found[by] += self.pt_found[pid]
+        self.pt_visible[by] += self.pt_visible[pid]
+        self.pt_obs[pid] = {}
+        self.pt_valid.discard(pid)
+        self.pt_replaced[pid] = by
+        self.compute_distinctive_descriptor(by)
+
+    def resolve_replaced(self, pid: int) -> int:
+        seen = set()
+        while pid in self.pt_replaced and pid not in seen:
+            seen.add(pid)
+            pid = self.pt_replaced[pid]
+        return pid
+
+    def compute_distinctive_descriptor(self, pid: int):
+        """Min-median-Hamming descriptor over observations
+        (reference MapPoint.cpp:224-289)."""
+        obs = [
+            self.kf_frame[kf].desc[idx]
+            for kf, idx in self.pt_obs[pid].items()
+            if kf in self.kf_valid
+        ]
+        if not obs:
+            return
+        D = np.stack(obs)
+        dists = hamming_np(D[:, None, :], D[None, :, :])
+        medians = np.median(dists, axis=1)
+        self.pt_desc[pid] = D[int(np.argmin(medians))].copy()
+
+    def update_normal_and_depth(self, pid: int):
+        """Reference MapPoint.cpp:341-399."""
+        obs = self.pt_obs.get(pid, {})
+        if not obs or pid not in self.pt_valid:
+            return
+        pos = self.pt_pos[pid]
+        normals = []
+        for kf in obs:
+            if kf in self.kf_valid:
+                v = pos - self.kf_center(kf)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    normals.append(v / n)
+        if not normals:
+            return
+        self.pt_normal[pid] = np.mean(normals, axis=0)
+        ref = self.pt_ref_kf.get(pid)
+        if ref not in self.kf_valid:
+            ref = next(iter(obs))
+        dist = np.linalg.norm(pos - self.kf_center(ref))
+        idx = obs.get(ref)
+        level = int(self.kf_frame[ref].octave[idx]) if idx is not None else 0
+        self.pt_max_dist[pid] = dist * self.scale_factors[level]
+        self.pt_min_dist[pid] = self.pt_max_dist[pid] / self.scale_factors[-1]
+
+    def predict_scale(self, pid: int, dist: float) -> int:
+        """Reference MapPoint::PredictScale (MapPoint.cpp:367-399)."""
+        ratio = self.pt_max_dist[pid] / max(dist, 1e-9)
+        level = int(np.ceil(np.log(ratio) / self.log_scale))
+        return min(max(level, 0), self.n_levels - 1)
+
+    # ------------------------------------------------------------------
+    # keyframe culling support
+    # ------------------------------------------------------------------
+
+    def remove_keyframe(self, kf: int):
+        """SetBadFlag: detach observations, re-parent children via the
+        covisibility-weighted BFS (reference KeyFrame.cpp:443-536, simplified
+        to best-parent-candidate per child)."""
+        if kf == 0 or kf not in self.kf_valid:
+            return
+        for okf in list(self.covis.get(kf, {})):
+            self.covis[okf].pop(kf, None)
+        for idx, pid in enumerate(self.kf_point[kf]):
+            if pid >= 0 and pid in self.pt_valid:
+                obs = self.pt_obs[pid]
+                if obs.get(kf) == idx:
+                    obs.pop(kf, None)
+                    if self.pt_ref_kf.get(pid) == kf and obs:
+                        self.pt_ref_kf[pid] = next(iter(obs))
+                    if len(obs) <= 1:
+                        self.remove_point(pid)
+        # re-parent children: candidates = parent + existing parents chain
+        parent = self.parent.get(kf, 0)
+        candidates = {parent}
+        children = set(self.children.get(kf, ()))
+        while children:
+            best, best_w, best_parent = None, -1, None
+            for ch in children:
+                for cand in candidates:
+                    w = self.covis.get(ch, {}).get(cand, 0)
+                    if w > best_w:
+                        best, best_w, best_parent = ch, w, cand
+            if best is None or best_w <= 0:
+                break
+            self.parent[best] = best_parent
+            self.children[best_parent].add(best)
+            candidates.add(best)
+            children.discard(best)
+        for ch in children:  # leftovers hang from the original parent
+            self.parent[ch] = parent
+            self.children[parent].add(ch)
+        self.children.get(parent, set()).discard(kf)
+        # store relative pose for offline-trajectory recovery (System.cpp:342)
+        self.Tcp[kf] = self.kf_pose[kf] @ np.linalg.inv(self.kf_pose[parent])
+        self.kf_valid.discard(kf)
+
+    # ------------------------------------------------------------------
+    # bulk views for device kernels
+    # ------------------------------------------------------------------
+
+    def points_array(self, pids: List[int]):
+        """Assemble dense arrays for a list of point ids."""
+        P = len(pids)
+        pos = np.zeros((P, 3), np.float32)
+        desc = np.zeros((P, 8), np.uint32)
+        normal = np.zeros((P, 3), np.float32)
+        dmin = np.zeros(P, np.float32)
+        dmax = np.zeros(P, np.float32)
+        for i, pid in enumerate(pids):
+            pos[i] = self.pt_pos[pid]
+            desc[i] = self.pt_desc[pid]
+            normal[i] = self.pt_normal[pid]
+            dmin[i] = self.pt_min_dist[pid]
+            dmax[i] = self.pt_max_dist[pid]
+        return pos, desc, normal, dmin, dmax
+
+    def clear(self):
+        self.__init__(self.n_kp, self.n_levels, self.scale_factor)

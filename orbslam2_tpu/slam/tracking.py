@@ -1,0 +1,608 @@
+"""Tracking front-end: the per-frame state machine.
+
+Re-implements the reference Tracking pipeline (src/Tracking.cpp:248-524)
+over the TPU-native kernels: motion-model / reference-KF tracking, local-map
+tracking, keyframe decision + creation, trajectory bookkeeping. Host code
+here is control flow and map admin only — matching and optimization run as
+jitted device programs with fixed shapes.
+
+States mirror the reference enum (Tracking.hpp:80-86).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..ops import hamming, matchers, pose_opt
+from .frontend import FrameHost, Frontend
+from .map import SlamMap
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+class TrajectoryEntry:
+    __slots__ = ("Tcr", "ref_kf", "timestamp", "lost", "Tcw")
+
+    def __init__(self, Tcr, ref_kf, timestamp, lost, Tcw):
+        self.Tcr = Tcr
+        self.ref_kf = ref_kf
+        self.timestamp = timestamp
+        self.lost = lost
+        self.Tcw = Tcw  # online pose snapshot (reference System.cpp:134-135)
+
+
+class Tracker:
+    def __init__(self, config: SlamConfig, frontend: Frontend, slam_map: SlamMap):
+        self.config = config
+        self.frontend = frontend
+        self.map = slam_map
+        self.cam = frontend.camera
+        self.state = TrackingState.NO_IMAGES_YET
+        self.velocity: Optional[np.ndarray] = None  # Tcl (cur <- last)
+        self.last_frame: Optional[FrameHost] = None
+        self.ref_kf: Optional[int] = None
+        self.last_kf_id = 0  # frame id at last KF insertion
+        self.last_reloc_frame_id = 0
+        self.frame_id = 0
+        self.min_frames = config.min_frames
+        self.max_frames = config.max_frames
+        self.trajectory: List[TrajectoryEntry] = []
+        self.local_keyframes: List[int] = []
+        self.local_points: List[int] = []
+        self.n_inliers = 0
+        self.local_mapper = None  # wired by System; must expose interface below
+        self.only_tracking = False
+        self.relocalizer = None  # wired by System once place recognition exists
+
+        N = config.orb.n_features
+        self._N = N
+        sf = self.frontend.scale_factors
+        inv_sig = self.frontend.inv_level_sigma2
+
+        self._jit_pose_opt = jax.jit(
+            lambda T0, pw, obs, isig, ster, valid: pose_opt.pose_optimize(
+                T0, pw, obs, isig, ster, valid, self.cam
+            )
+        )
+        self._jit_match_frame = jax.jit(
+            lambda uv_c, oct_c, desc_c, val_c, ang_c, uv_p, oct_l, desc_l, val_p, ang_l, th, fwd, bwd: matchers.search_by_projection_frame(
+                uv_c, oct_c, desc_c, val_c, ang_c,
+                uv_p, oct_l, desc_l, val_p, ang_l,
+                sf, th, fwd, bwd,
+            )
+        )
+        self._jit_match_points = jax.jit(
+            lambda uv_c, oct_c, ur_c, desc_c, val_c, uv_p, ur_p, lvl_p, vcos, desc_p, val_p, th: matchers.search_by_projection_points(
+                uv_c, oct_c, ur_c, desc_c, val_c,
+                uv_p, ur_p, lvl_p, vcos, desc_p, val_p,
+                sf, th,
+            )
+        )
+
+    # ------------------------------------------------------------------
+
+    def track(self, im_left, im_right, timestamp: float) -> Optional[np.ndarray]:
+        """Process one stereo frame; returns Tcw or None when lost."""
+        feats = self.frontend.process(im_left, im_right)
+        frame = FrameHost(feats, timestamp, self.frame_id)
+        self.frame_id += 1
+        self._track(frame)
+        return frame.Tcw if self.state == TrackingState.OK else None
+
+    def _track(self, frame: FrameHost):
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            self.state = TrackingState.NOT_INITIALIZED
+            self._stereo_initialization(frame)
+            if self.state != TrackingState.OK:
+                return
+            self._record_trajectory(frame)
+            self.last_frame = frame
+            return
+
+        ok = False
+        if self.state == TrackingState.OK:
+            self._check_replaced_in_last_frame()
+            if self.velocity is None or frame.frame_id < self.last_reloc_frame_id + 2:
+                ok = self._track_reference_keyframe(frame)
+            else:
+                ok = self._track_with_motion_model(frame)
+                if not ok:
+                    ok = self._track_reference_keyframe(frame)
+        else:  # LOST
+            ok = self._relocalize(frame)
+
+        if ok:
+            ok = self._track_local_map(frame)
+
+        if ok:
+            self.state = TrackingState.OK
+            # motion model velocity: Tcl = Tcw_cur @ Twc_last
+            self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
+            # clean VO outliers
+            if self._need_new_keyframe(frame):
+                self._create_new_keyframe(frame)
+            # drop outlier associations for next frame
+            frame.point_ids[frame.outlier] = -1
+            frame.outlier[:] = False
+        else:
+            self.state = TrackingState.LOST
+            self.velocity = None
+            if self.map.n_keyframes() <= 5:
+                # early loss: reset (reference Tracking.cpp:485-492)
+                self.reset()
+                return
+
+        self._record_trajectory(frame)
+        self.last_frame = frame
+
+    # ------------------------------------------------------------------
+
+    def _stereo_initialization(self, frame: FrameHost):
+        """Reference Tracking::StereoInitialization (Tracking.cpp:527-581)."""
+        if frame.n_keypoints <= 500:
+            return
+        frame.Tcw = np.eye(4, dtype=np.float32)
+        kf = self.map.add_keyframe(frame, frame.Tcw)
+        n_pts = 0
+        for i in np.nonzero(frame.valid & (frame.depth > 0))[0]:
+            pos = self._unproject(frame, int(i))
+            pid = self.map.add_point(pos, kf, frame.desc[i])
+            self.map.add_observation(pid, kf, int(i))
+            self.map.compute_distinctive_descriptor(pid)
+            self.map.update_normal_and_depth(pid)
+            frame.point_ids[i] = pid
+            n_pts += 1
+        self.map.kf_point[kf] = frame.point_ids.copy()
+        self.map.keyframe_origins.append(kf)
+        self.ref_kf = kf
+        self.last_kf_id = frame.frame_id
+        self.local_keyframes = [kf]
+        self.local_points = [p for p in self.map.pt_valid]
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf)
+        self.state = TrackingState.OK
+
+    def _unproject(self, frame: FrameHost, i: int) -> np.ndarray:
+        z = frame.depth[i]
+        u, v = frame.uv[i]
+        cam = self.config.camera
+        x = (u - cam.cx) * z / cam.fx
+        y = (v - cam.cy) * z / cam.fy
+        pc = np.array([x, y, z, 1.0])
+        Twc = np.linalg.inv(frame.Tcw)
+        return (Twc @ pc)[:3]
+
+    def _check_replaced_in_last_frame(self):
+        lf = self.last_frame
+        for i in np.nonzero(lf.point_ids >= 0)[0]:
+            pid = int(lf.point_ids[i])
+            r = self.map.resolve_replaced(pid)
+            if r != pid:
+                lf.point_ids[i] = r if r in self.map.pt_valid else -1
+
+    # ------------------------------------------------------------------
+
+    def _pose_optimize(self, frame: FrameHost) -> int:
+        """Run device pose optimization on the frame's current matches."""
+        N = self._N
+        pw = np.zeros((N, 3), np.float32)
+        valid = np.zeros(N, bool)
+        for i in np.nonzero(frame.point_ids >= 0)[0]:
+            pid = int(frame.point_ids[i])
+            if pid in self.map.pt_valid:
+                pw[i] = self.map.pt_pos[pid]
+                valid[i] = True
+            else:
+                frame.point_ids[i] = -1
+        if valid.sum() < 3:
+            return 0
+        obs = np.concatenate([frame.uv, frame.u_right[:, None]], axis=1).astype(np.float32)
+        is_stereo = frame.u_right >= 0
+        inv_sig = 1.0 / self.frontend.level_sigma2[frame.octave]
+        res = self._jit_pose_opt(
+            jnp.asarray(frame.Tcw),
+            jnp.asarray(pw),
+            jnp.asarray(obs),
+            jnp.asarray(inv_sig, jnp.float32),
+            jnp.asarray(is_stereo),
+            jnp.asarray(valid),
+        )
+        frame.Tcw = np.asarray(res.Tcw)
+        inlier = np.asarray(res.inlier)
+        frame.outlier = valid & ~inlier
+        return int(res.n_inliers)
+
+    def _discard_outliers(self, frame: FrameHost) -> int:
+        """Post-optimization bookkeeping shared by both tracking modes."""
+        n_map = 0
+        for i in np.nonzero(frame.point_ids >= 0)[0]:
+            pid = int(frame.point_ids[i])
+            if frame.outlier[i]:
+                frame.point_ids[i] = -1
+                frame.outlier[i] = False
+            elif self.map.n_observations(pid) > 0:
+                n_map += 1
+        return n_map
+
+    def _track_with_motion_model(self, frame: FrameHost) -> bool:
+        """Reference Tracking::TrackWithMotionModel (Tracking.cpp:714-772)."""
+        lf = self.last_frame
+        frame.Tcw = (self.velocity @ lf.Tcw).astype(np.float32)
+
+        n = self._match_last_frame(frame, th=7.0)
+        if n < 20:
+            frame.point_ids[:] = -1
+            n = self._match_last_frame(frame, th=14.0)
+        if n < 20:
+            return False
+        self._pose_optimize(frame)
+        n_map = self._discard_outliers(frame)
+        return n_map >= 10
+
+    def _match_last_frame(self, frame: FrameHost, th: float) -> int:
+        lf = self.last_frame
+        N = self._N
+        # project last-frame map points into the current (predicted) frame
+        pids = lf.point_ids.copy()
+        has_pt = pids >= 0
+        pw = np.zeros((N, 3), np.float64)
+        desc = np.zeros((N, 8), np.uint32)
+        for i in np.nonzero(has_pt)[0]:
+            pid = int(pids[i])
+            if pid in self.map.pt_valid:
+                pw[i] = self.map.pt_pos[pid]
+                desc[i] = self.map.pt_desc[pid]
+            else:
+                has_pt[i] = False
+        Rcw, tcw = frame.Tcw[:3, :3].astype(np.float64), frame.Tcw[:3, 3].astype(np.float64)
+        pc = pw @ Rcw.T + tcw
+        z = pc[:, 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        cam = self.config.camera
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        in_img = (z > 0) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        proj_valid = has_pt & in_img
+
+        # forward/backward along optical axis (reference ORBmatcher.cpp:1184-1194)
+        Twc = np.linalg.inv(frame.Tcw)
+        tlc = (lf.Tcw @ Twc)[:3, 3]
+        b = self.config.baseline
+        fwd, bwd = bool(tlc[2] > b), bool(-tlc[2] > b)
+
+        point_for_kp, _ = self._jit_match_frame(
+            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            jnp.asarray(frame.angle),
+            jnp.asarray(np.stack([u, v], -1), jnp.float32),
+            jnp.asarray(lf.octave), jnp.asarray(desc),
+            jnp.asarray(proj_valid), jnp.asarray(lf.angle),
+            th, jnp.asarray(fwd), jnp.asarray(bwd),
+        )
+        pfk = np.asarray(point_for_kp)
+        frame.point_ids[:] = -1
+        hit = pfk >= 0
+        frame.point_ids[hit] = pids[pfk[hit]]
+        return int(hit.sum())
+
+    def _track_reference_keyframe(self, frame: FrameHost) -> bool:
+        """Reference Tracking::TrackReferenceKeyFrame (Tracking.cpp:604-647).
+
+        The reference matches via BoW buckets for speed; dense masked
+        matching subsumes that (same mutual-best + ratio + rotation gates)
+        without needing the vocabulary in the loop.
+        """
+        kf = self.ref_kf
+        if kf is None or kf not in self.map.kf_valid:
+            return False
+        kff = self.map.kf_frame[kf]
+        kf_pids = self.map.kf_point[kf]
+        has_pt = kf_pids >= 0
+        desc = np.zeros((self._N, 8), np.uint32)
+        for i in np.nonzero(has_pt)[0]:
+            pid = int(kf_pids[i])
+            if pid in self.map.pt_valid:
+                desc[i] = self.map.pt_desc[pid]
+            else:
+                has_pt[i] = False
+
+        # BoW-free SearchByBoW equivalent: mutual-ratio Hamming matching
+        n = self._match_descriptors(frame, kff, desc, has_pt, kf_pids)
+        if n < 15:
+            return False
+        frame.Tcw = self.last_frame.Tcw.copy()
+        self._pose_optimize(frame)
+        n_map = self._discard_outliers(frame)
+        return n_map >= 10
+
+    def _match_descriptors(self, frame, kff, desc, has_pt, kf_pids) -> int:
+        """SearchByBoW(KF, Frame) equivalent: best-match with 0.7 ratio and
+        rotation consistency (reference ORBmatcher.cpp:110-239)."""
+        d = hamming.hamming_matrix(jnp.asarray(desc), jnp.asarray(frame.desc))
+        mask = jnp.asarray(has_pt)[:, None] & jnp.asarray(frame.valid)[None, :]
+        idx, best, second = hamming.masked_two_smallest(d, mask)
+        idx, best, second = np.asarray(idx), np.asarray(best), np.asarray(second)
+        ok = (best < hamming.TH_LOW) & (best < 0.7 * second)
+        keep = matchers.rotation_consistency_mask(
+            jnp.asarray(kff.angle), jnp.asarray(frame.angle[idx]), jnp.asarray(ok)
+        )
+        keep = np.asarray(keep)
+        frame.point_ids[:] = -1
+        # resolve collisions: best distance wins
+        order = np.argsort(best)
+        used = np.zeros(self._N, bool)
+        cnt = 0
+        for i in order:
+            if keep[i] and not used[idx[i]]:
+                frame.point_ids[idx[i]] = kf_pids[i]
+                used[idx[i]] = True
+                cnt += 1
+        return cnt
+
+    # ------------------------------------------------------------------
+
+    def _track_local_map(self, frame: FrameHost) -> bool:
+        """Reference Tracking::TrackLocalMap (Tracking.cpp:777-821)."""
+        self._update_local_map(frame)
+        self._search_local_points(frame)
+        self._pose_optimize(frame)
+
+        self.n_inliers = 0
+        for i in np.nonzero(frame.point_ids >= 0)[0]:
+            pid = int(frame.point_ids[i])
+            if not frame.outlier[i]:
+                self.map.pt_found[pid] = self.map.pt_found.get(pid, 0) + 1
+                if self.map.n_observations(pid) > 0:
+                    self.n_inliers += 1
+            else:
+                # stereo mode drops outliers immediately (Tracking.cpp:806)
+                frame.point_ids[i] = -1
+                frame.outlier[i] = False
+
+        if (
+            frame.frame_id < self.last_reloc_frame_id + self.max_frames
+            and self.n_inliers < 50
+        ):
+            return False
+        return self.n_inliers >= 30
+
+    def _update_local_map(self, frame: FrameHost):
+        """UpdateLocalKeyFrames + UpdateLocalPoints (Tracking.cpp:1041-1137)."""
+        votes = {}
+        for i in np.nonzero(frame.point_ids >= 0)[0]:
+            pid = int(frame.point_ids[i])
+            if pid in self.map.pt_valid:
+                for kf in self.map.pt_obs[pid]:
+                    if kf in self.map.kf_valid:
+                        votes[kf] = votes.get(kf, 0) + 1
+            else:
+                frame.point_ids[i] = -1
+        if not votes:
+            return
+        local = list(votes)
+        # add neighbors of the voters (cap 80, reference Tracking.cpp:1121)
+        for kf in list(local):
+            if len(local) > 80:
+                break
+            for nb in self.map.covisible_keyframes(kf, 10):
+                if nb not in votes and nb not in local:
+                    local.append(nb)
+                    break  # reference adds one and breaks per category
+            for ch in self.map.children.get(kf, ()):
+                if ch in self.map.kf_valid and ch not in local:
+                    local.append(ch)
+                    break
+            par = self.map.parent.get(kf)
+            if par is not None and par in self.map.kf_valid and par not in local:
+                local.append(par)
+        self.local_keyframes = local[:80]
+        self.ref_kf = max(votes, key=votes.get)
+
+        pts = []
+        seen = set()
+        for kf in self.local_keyframes:
+            for pid in self.map.kf_point[kf]:
+                if pid >= 0 and pid not in seen and pid in self.map.pt_valid:
+                    seen.add(pid)
+                    pts.append(int(pid))
+        self.local_points = pts
+
+    def _search_local_points(self, frame: FrameHost):
+        """SearchLocalPoints (Tracking.cpp:979-1038): frustum check + device
+        projection matching of unmatched local points."""
+        matched = set(int(p) for p in frame.point_ids[frame.point_ids >= 0])
+        for pid in matched:
+            self.map.pt_visible[pid] = self.map.pt_visible.get(pid, 0) + 1
+        cand = [p for p in self.local_points if p not in matched]
+        if not cand:
+            return
+        pos, desc, normal, dmin, dmax = self.map.points_array(cand)
+        Rcw = frame.Tcw[:3, :3].astype(np.float64)
+        tcw = frame.Tcw[:3, 3].astype(np.float64)
+        Ow = -Rcw.T @ tcw
+        pc = pos.astype(np.float64) @ Rcw.T + tcw
+        z = pc[:, 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        cam = self.config.camera
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        ur = u - cam.bf / zs
+        po = pos.astype(np.float64) - Ow
+        dist = np.linalg.norm(po, axis=1)
+        viewcos = np.einsum("ij,ij->i", po, normal) / np.maximum(dist, 1e-9)
+        visible = (
+            (z > 0)
+            & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+            & (dist >= 0.8 * dmin) & (dist <= 1.2 * dmax)
+            & (viewcos > 0.5)
+        )
+        for j in np.nonzero(visible)[0]:
+            self.map.pt_visible[cand[j]] = self.map.pt_visible.get(cand[j], 0) + 1
+        if not visible.any():
+            return
+        # predicted scale level (MapPoint::PredictScale)
+        ratio = dmax / np.maximum(dist, 1e-9)
+        level = np.ceil(np.log(np.maximum(ratio, 1e-9)) / self.map.log_scale)
+        level = np.clip(level, 0, self.map.n_levels - 1).astype(np.int32)
+
+        th = 1.0
+        if frame.frame_id < self.last_reloc_frame_id + 2:
+            th = 5.0
+
+        # pad candidate arrays to a stable size to limit recompiles
+        P = 1 << int(np.ceil(np.log2(max(len(cand), 512))))
+        def padto(a, fill=0):
+            out = np.full((P,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        kp_free = frame.valid & (frame.point_ids < 0)
+        point_for_kp, _ = self._jit_match_points(
+            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
+            jnp.asarray(frame.u_right), jnp.asarray(frame.desc),
+            jnp.asarray(kp_free),
+            jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
+            jnp.asarray(padto(ur.astype(np.float32))),
+            jnp.asarray(padto(level)),
+            jnp.asarray(padto(viewcos.astype(np.float32))),
+            jnp.asarray(padto(desc)),
+            jnp.asarray(padto(visible)),
+            th,
+        )
+        pfk = np.asarray(point_for_kp)
+        for i in np.nonzero(pfk >= 0)[0]:
+            if frame.point_ids[i] < 0 and pfk[i] < len(cand):
+                frame.point_ids[i] = cand[int(pfk[i])]
+
+    # ------------------------------------------------------------------
+
+    def _need_new_keyframe(self, frame: FrameHost) -> bool:
+        """Reference Tracking::NeedNewKeyFrame (Tracking.cpp:824-897)."""
+        if self.only_tracking:
+            return False
+        lm = self.local_mapper
+        if lm is not None and lm.is_stopped():
+            return False
+        n_kfs = self.map.n_keyframes()
+        if (
+            frame.frame_id < self.last_reloc_frame_id + self.max_frames
+            and n_kfs > self.max_frames
+        ):
+            return False
+        n_min_obs = 3 if n_kfs > 2 else 2
+        n_ref_matches = self._tracked_in_keyframe(self.ref_kf, n_min_obs)
+        idle = lm.accept_keyframes() if lm is not None else True
+
+        close = frame.valid & (frame.depth > 0) & (frame.depth < self.config.depth_threshold)
+        tracked_close = int((close & (frame.point_ids >= 0) & ~frame.outlier).sum())
+        non_tracked_close = int((close & ((frame.point_ids < 0) | frame.outlier)).sum())
+        need_close = (tracked_close < 100) and (non_tracked_close > 70)
+
+        th_ref = 0.75 if n_kfs >= 2 else 0.4
+        c1a = frame.frame_id >= self.last_kf_id + self.max_frames
+        c1b = frame.frame_id >= self.last_kf_id + self.min_frames and idle
+        c1c = self.n_inliers < n_ref_matches * 0.25 or need_close
+        c2 = (
+            self.n_inliers < n_ref_matches * th_ref or need_close
+        ) and self.n_inliers > 15
+
+        if (c1a or c1b or c1c) and c2:
+            if idle:
+                return True
+            if lm is not None:
+                lm.interrupt_ba()
+                return lm.queue_size() < 3
+            return False
+        return False
+
+    def _tracked_in_keyframe(self, kf: Optional[int], min_obs: int) -> int:
+        if kf is None or kf not in self.map.kf_valid:
+            return 0
+        n = 0
+        for pid in self.map.kf_point[kf]:
+            if pid >= 0 and pid in self.map.pt_valid:
+                if self.map.n_observations(int(pid)) >= min_obs:
+                    n += 1
+        return n
+
+    def _create_new_keyframe(self, frame: FrameHost):
+        """Reference Tracking::CreateNewKeyFrame (Tracking.cpp:899-977)."""
+        kf = self.map.add_keyframe(frame, frame.Tcw)
+        self.ref_kf = kf
+        # create close stereo points not yet mapped
+        depth_ok = frame.valid & (frame.depth > 0)
+        order = np.argsort(frame.depth[depth_ok])
+        idxs = np.nonzero(depth_ok)[0][order]
+        n_points = 0
+        for i in idxs:
+            i = int(i)
+            pid = int(frame.point_ids[i])
+            create = pid < 0 or pid not in self.map.pt_valid or (
+                self.map.n_observations(pid) < 1
+            )
+            if create:
+                pos = self._unproject(frame, i)
+                new_pid = self.map.add_point(pos, kf, frame.desc[i])
+                self.map.add_observation(new_pid, kf, i)
+                self.map.compute_distinctive_descriptor(new_pid)
+                self.map.update_normal_and_depth(new_pid)
+                frame.point_ids[i] = new_pid
+                n_points += 1
+            else:
+                n_points += 1
+            if frame.depth[i] > self.config.depth_threshold and n_points > 100:
+                break
+        self.map.kf_point[kf] = frame.point_ids.copy()
+        self.map.update_connections(kf)
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf)
+        self.last_kf_id = frame.frame_id
+
+    # ------------------------------------------------------------------
+
+    def _relocalize(self, frame: FrameHost) -> bool:
+        if self.relocalizer is None:
+            return False
+        ok = self.relocalizer.relocalize(frame)
+        if ok:
+            self.last_reloc_frame_id = frame.frame_id
+        return ok
+
+    def _record_trajectory(self, frame: FrameHost):
+        """Reference Tracking.cpp:503-520."""
+        lost = self.state != TrackingState.OK
+        if frame.Tcw is None:
+            # lost before any estimate: replicate the reference (it repeats
+            # the last relative pose with the lost flag set)
+            if self.trajectory:
+                last = self.trajectory[-1]
+                self.trajectory.append(
+                    TrajectoryEntry(last.Tcr, last.ref_kf, frame.timestamp, True, None)
+                )
+            return
+        ref = self.ref_kf
+        Tcr = frame.Tcw @ np.linalg.inv(self.map.kf_pose[ref])
+        self.trajectory.append(
+            TrajectoryEntry(Tcr, ref, frame.timestamp, lost, frame.Tcw.copy())
+        )
+
+    def reset(self):
+        self.map.clear()
+        self.state = TrackingState.NO_IMAGES_YET
+        self.velocity = None
+        self.last_frame = None
+        self.ref_kf = None
+        self.trajectory.clear()
+        self.local_keyframes = []
+        self.local_points = []
