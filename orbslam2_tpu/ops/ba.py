@@ -1,0 +1,280 @@
+"""Bundle adjustment: batched Levenberg-Marquardt with matrix-free PCG.
+
+Replaces g2o's BlockSolver + LinearSolverEigen pipeline (reference
+Thirdparty/g2o/g2o/core/block_solver.hpp — sparse Schur complement +
+sparse Cholesky) with a TPU-native design:
+
+  * all edges (camera<->point observations) evaluated in batch:
+    residuals + analytic Jacobians wrt pose (6) and point (3);
+  * the damped normal system (H + lambda*I) dx = -g is solved matrix-free
+    by block-Jacobi preconditioned conjugate gradients — every H*v product
+    is two gathers, a batched small matmul and two segment-sums, which is
+    exactly the shape that shards across devices by splitting the edge
+    list and psum-ing the reductions (parallel/dist_ba.py);
+  * LM accept/reject with g2o's rho heuristics.
+
+Used for LocalBundleAdjustment (reference src/Optimizer.cpp:426-787) and
+GlobalBundleAdjustment (src/Optimizer.cpp:7-203): same kernel, different
+edge sets. The reference's two-stage schedule (5 iters, outlier cut at
+chi2 5.991/7.815, 10 more iters) is reproduced in `ba_solve`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.camera import Camera
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+DELTA_MONO = 2.447864292
+DELTA_STEREO = 2.795531836
+
+_einsum = functools.partial(jnp.einsum, precision="highest")
+
+
+class BAProblem(NamedTuple):
+    poses: jax.Array  # [K,4,4] Tcw
+    points: jax.Array  # [P,3]
+    obs_kf: jax.Array  # [E] int32 camera index per edge
+    obs_pt: jax.Array  # [E] int32 point index per edge
+    obs: jax.Array  # [E,3] (u, v, uR)
+    inv_sigma2: jax.Array  # [E]
+    is_stereo: jax.Array  # [E] bool
+    edge_valid: jax.Array  # [E] bool
+    pose_fixed: jax.Array  # [K] bool
+
+
+class BAResult(NamedTuple):
+    poses: jax.Array
+    points: jax.Array
+    edge_inlier: jax.Array  # [E] bool (valid & passed final chi2)
+    final_chi2: jax.Array  # scalar
+
+
+def _edge_terms(poses, points, prob: BAProblem, cam: Camera):
+    """Residual r [E,3], Jc [E,3,6], Jp [E,3,3], component mask [E,3],
+    depth_ok [E]."""
+    T = poses[prob.obs_kf]  # [E,4,4]
+    pw = points[prob.obs_pt]  # [E,3]
+    R = T[..., :3, :3]
+    pc = _einsum("eij,ej->ei", R, pw) + T[..., :3, 3]
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    inv_z = 1.0 / zs
+    inv_z2 = inv_z * inv_z
+
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+    pred = jnp.stack([u, v, ur], axis=-1)
+    r = prob.obs - pred
+
+    zero = jnp.zeros_like(x)
+    dh = jnp.stack(
+        [
+            jnp.stack([cam.fx * inv_z, zero, -cam.fx * x * inv_z2], -1),
+            jnp.stack([zero, cam.fy * inv_z, -cam.fy * y * inv_z2], -1),
+            jnp.stack([cam.fx * inv_z, zero, (-cam.fx * x + cam.bf) * inv_z2], -1),
+        ],
+        axis=-2,
+    )  # [E,3,3] d pred / d pc
+
+    hat_pc = se3.hat(pc)
+    dpc_dxi = jnp.concatenate(
+        [-hat_pc, jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), hat_pc.shape)],
+        axis=-1,
+    )  # [E,3,6]
+    Jc = -_einsum("eij,ejk->eik", dh, dpc_dxi)
+    Jp = -_einsum("eij,ejk->eik", dh, R)  # d pc/d pw = Rcw
+
+    comp = jnp.stack(
+        [jnp.ones_like(x), jnp.ones_like(x), prob.is_stereo.astype(x.dtype)], -1
+    )
+    return r, Jc, Jp, comp, z > 0.0
+
+
+def _edge_weights(r, comp, prob: BAProblem, depth_ok, use_huber):
+    """(w_lsq [E], chi2 [E], robust_rho [E]) with Huber; w folds invSigma2."""
+    e2 = jnp.sum(r * r * comp, axis=-1) * prob.inv_sigma2
+    delta = jnp.where(prob.is_stereo, DELTA_STEREO, DELTA_MONO)
+    delta2 = delta * delta
+    w_huber = jnp.where(
+        use_huber & (e2 > delta2), delta / jnp.sqrt(jnp.maximum(e2, 1e-12)), 1.0
+    )
+    active = prob.edge_valid & depth_ok
+    w = jnp.where(active, w_huber * prob.inv_sigma2, 0.0)
+    rho = jnp.where(
+        use_huber & (e2 > delta2),
+        2.0 * delta * jnp.sqrt(jnp.maximum(e2, 1e-12)) - delta2,
+        e2,
+    )
+    rho = jnp.where(active, rho, 0.0)
+    return w, e2, rho
+
+
+def _assemble(poses, points, prob, cam, use_huber):
+    """Gradient + diagonal blocks + total robust chi2."""
+    K = prob.poses.shape[0]
+    P = prob.points.shape[0]
+    r, Jc, Jp, comp, depth_ok = _edge_terms(poses, points, prob, cam)
+    w, _, rho = _edge_weights(r, comp, prob, depth_ok, use_huber)
+    Wr = (w[:, None] * comp) * r  # [E,3]
+    gc = jnp.zeros((K, 6)).at[prob.obs_kf].add(_einsum("eci,ec->ei", Jc, Wr))
+    gp = jnp.zeros((P, 3)).at[prob.obs_pt].add(_einsum("eci,ec->ei", Jp, Wr))
+    Wc = w[:, None] * comp
+    Hcc = jnp.zeros((K, 6, 6)).at[prob.obs_kf].add(
+        _einsum("eci,ec,ecj->eij", Jc, Wc, Jc)
+    )
+    Hpp = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
+        _einsum("eci,ec,ecj->eij", Jp, Wc, Jp)
+    )
+    return gc, gp, Hcc, Hpp, jnp.sum(rho)
+
+
+def _hv_product(vc, vp, poses, points, prob, cam, w_comp, Jc, Jp, lam):
+    """(H + lam*I) @ v, matrix-free over edges."""
+    a = _einsum("eci,ei->ec", Jc, vc[prob.obs_kf]) + _einsum(
+        "eci,ei->ec", Jp, vp[prob.obs_pt]
+    )
+    Wa = w_comp * a
+    K, P = vc.shape[0], vp.shape[0]
+    Hc = jnp.zeros((K, 6)).at[prob.obs_kf].add(_einsum("eci,ec->ei", Jc, Wa))
+    Hp = jnp.zeros((P, 3)).at[prob.obs_pt].add(_einsum("eci,ec->ei", Jp, Wa))
+    return Hc + lam * vc, Hp + lam * vp
+
+
+def _pcg_solve(prob, cam, poses, points, use_huber, lam, n_cg):
+    """Solve (H+lam I) dx = -g with block-Jacobi PCG. Returns (dxc, dxp, g)."""
+    K = prob.poses.shape[0]
+    r_, Jc, Jp, comp, depth_ok = _edge_terms(poses, points, prob, cam)
+    w, _, _ = _edge_weights(r_, comp, prob, depth_ok, use_huber)
+    w_comp = w[:, None] * comp
+    gc, gp, Hcc, Hpp, _ = _assemble(poses, points, prob, cam, use_huber)
+
+    # freeze fixed poses: zero gradient rows
+    free = ~prob.pose_fixed
+    gc = gc * free[:, None]
+
+    eye6 = jnp.eye(6)
+    eye3 = jnp.eye(3)
+    Mc = jnp.linalg.inv(Hcc + (lam + 1e-6) * eye6)  # [K,6,6]
+    Mp = jnp.linalg.inv(Hpp + (lam + 1e-6) * eye3)  # [P,3,3]
+
+    def precond(rc, rp):
+        pc_ = _einsum("kij,kj->ki", Mc, rc) * free[:, None]
+        pp_ = _einsum("pij,pj->pi", Mp, rp)
+        return pc_, pp_
+
+    def hv(vc, vp):
+        vc = vc * free[:, None]
+        Hc, Hp = _hv_product(vc, vp, poses, points, prob, cam, w_comp, Jc, Jp, lam)
+        return Hc * free[:, None], Hp
+
+    bc, bp = gc, gp  # we solve (H+lam) dx = g then negate (dx -> -dx)
+    xc = jnp.zeros_like(bc)
+    xp = jnp.zeros_like(bp)
+    rc, rp = bc, bp
+    zc, zp = precond(rc, rp)
+    pc_, pp_ = zc, zp
+    rz = jnp.sum(rc * zc) + jnp.sum(rp * zp)
+
+    def body(carry, _):
+        xc, xp, rc, rp, pc_, pp_, rz = carry
+        Apc, App = hv(pc_, pp_)
+        pAp = jnp.sum(pc_ * Apc) + jnp.sum(pp_ * App)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+        xc = xc + alpha * pc_
+        xp = xp + alpha * pp_
+        rc = rc - alpha * Apc
+        rp = rp - alpha * App
+        zc, zp = precond(rc, rp)
+        rz_new = jnp.sum(rc * zc) + jnp.sum(rp * zp)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        pc2 = zc + beta * pc_
+        pp2 = zp + beta * pp_
+        return (xc, xp, rc, rp, pc2, pp2, rz_new), None
+
+    (xc, xp, *_), _ = jax.lax.scan(
+        body, (xc, xp, rc, rp, pc_, pp_, rz), None, length=n_cg
+    )
+    return -xc, -xp, (gc, gp)
+
+
+def _lm_run(prob, cam, poses, points, use_huber, n_iters, n_cg):
+    gc, gp, Hcc, Hpp, F0 = _assemble(poses, points, prob, cam, use_huber)
+    diag_max = jnp.maximum(
+        jnp.max(jax.vmap(jnp.diag)(Hcc)), jnp.max(jax.vmap(jnp.diag)(Hpp))
+    )
+    lam0 = 1e-5 * diag_max
+
+    def total(poses_, points_):
+        *_, F = _assemble(poses_, points_, prob, cam, use_huber)
+        return F
+
+    def step(carry, _):
+        poses, points, lam, ni, F = carry
+        dxc, dxp, (gc, gp) = _pcg_solve(
+            prob, cam, poses, points, use_huber, lam, n_cg
+        )
+        dxc = dxc * (~prob.pose_fixed)[:, None]
+        poses_new = se3.retract(poses, dxc)
+        points_new = points + dxp
+        F_new = total(poses_new, points_new)
+        gdot = jnp.sum(dxc * (lam * dxc - gc)) + jnp.sum(dxp * (lam * dxp - gp))
+        rho = (F - F_new) / (gdot + 1e-12)
+        ok = (rho > 0) & jnp.isfinite(F_new)
+        poses = jnp.where(ok, poses_new, poses)
+        points = jnp.where(ok, points_new, points)
+        F = jnp.where(ok, F_new, F)
+        lam = jnp.where(
+            ok, lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3), lam * ni
+        )
+        ni = jnp.where(ok, 2.0, ni * 2.0)
+        return (poses, points, lam, ni, F), None
+
+    (poses, points, _, _, F), _ = jax.lax.scan(
+        step, (poses, points, lam0, jnp.float32(2.0), F0), None, length=n_iters
+    )
+    return poses, points, F
+
+
+def edge_chi2(poses, points, prob: BAProblem, cam: Camera):
+    r, _, _, comp, depth_ok = _edge_terms(poses, points, prob, cam)
+    e2 = jnp.sum(r * r * comp, axis=-1) * prob.inv_sigma2
+    return e2, depth_ok
+
+
+def ba_solve(
+    prob: BAProblem,
+    cam: Camera,
+    n_iters_first: int = 5,
+    n_iters_second: int = 10,
+    n_cg: int = 30,
+) -> BAResult:
+    """Two-stage schedule of the reference LocalBundleAdjustment:
+    5 LM iters -> chi2 outlier rejection -> 10 LM iters -> final inliers."""
+    poses, points = prob.poses, prob.points
+    poses, points, _ = _lm_run(
+        prob, cam, poses, points, jnp.asarray(True), n_iters_first, n_cg
+    )
+    e2, depth_ok = edge_chi2(poses, points, prob, cam)
+    th = jnp.where(prob.is_stereo, CHI2_STEREO, CHI2_MONO)
+    keep = prob.edge_valid & (e2 <= th) & depth_ok
+    prob2 = prob._replace(edge_valid=keep)
+    poses, points, F = _lm_run(
+        prob2, cam, poses, points, jnp.asarray(True), n_iters_second, n_cg
+    )
+    e2, depth_ok = edge_chi2(poses, points, prob2, cam)
+    inlier = keep & (e2 <= th) & depth_ok
+    return BAResult(poses=poses, points=points, edge_inlier=inlier, final_chi2=F)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters_first", "n_iters_second", "n_cg"))
+def ba_solve_jit(prob, cam, n_iters_first=5, n_iters_second=10, n_cg=30):
+    return ba_solve(prob, cam, n_iters_first, n_iters_second, n_cg)

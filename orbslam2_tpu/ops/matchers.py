@@ -195,6 +195,117 @@ def search_by_projection_frame(
 
 
 # ---------------------------------------------------------------------------
+# epipolar-constrained matching for triangulation
+# (reference SearchForTriangulation, ORBmatcher.cpp:489-669)
+# ---------------------------------------------------------------------------
+
+
+def epipolar_match(
+    uv1: jax.Array,  # [N,2] kf1 keypoints
+    desc1: jax.Array,  # [N,8]
+    free1: jax.Array,  # [N] bool — no map point bound
+    angle1: jax.Array,  # [N]
+    stereo1: jax.Array,  # [N] bool — has stereo depth
+    uv2: jax.Array,  # [M,2] kf2 keypoints
+    oct2: jax.Array,  # [M]
+    desc2: jax.Array,  # [M,8]
+    free2: jax.Array,  # [M]
+    angle2: jax.Array,  # [M]
+    stereo2: jax.Array,  # [M]
+    F12: jax.Array,  # [3,3] fundamental kf1->kf2 (x1^T F12 = line in 2)
+    epipole2: jax.Array,  # [2] projection of O1 in kf2
+    scale_factors: jax.Array,
+    level_sigma2: jax.Array,
+):
+    """Best epipolar-consistent match in kf2 for each free kf1 feature.
+
+    Gates replicated: Hamming < TH_LOW, epipolar distance^2 <
+    3.84*sigma2(oct2), mono-mono pairs must be > 10*sqrt(sf(oct2)) px from
+    the epipole, rotation consistency. Returns match index per kf1 feature
+    (-1 none).
+    """
+    # line in image 2: l = F12^T x1  (reference computes a,b,c this way)
+    ones = jnp.ones((uv1.shape[0], 1), uv1.dtype)
+    x1h = jnp.concatenate([uv1, ones], axis=-1)  # [N,3]
+    line = x1h @ F12  # [N,3] (a, b, c)
+    a, b, c = line[:, 0:1], line[:, 1:2], line[:, 2:3]
+    num = a * uv2[None, :, 0] + b * uv2[None, :, 1] + c  # broadcasting [N,M]
+    den = a * a + b * b
+    dsq = num * num / jnp.where(den < 1e-12, 1e-12, den)
+    epi_ok = dsq < 3.84 * level_sigma2[oct2][None, :]
+
+    de = uv2 - epipole2[None, :]
+    epipole_dist2 = jnp.sum(de * de, axis=-1)  # [M]
+    both_mono = (~stereo1[:, None]) & (~stereo2[None, :])
+    epipole_ok = jnp.where(
+        both_mono, epipole_dist2[None, :] >= 100.0 * scale_factors[oct2][None, :], True
+    )
+
+    mask = epi_ok & epipole_ok & free1[:, None] & free2[None, :]
+    dist = hamming.hamming_matrix(desc1, desc2)
+    best_idx, best = hamming.masked_argmin(dist, mask)
+    ok = best < hamming.TH_LOW
+    ok = rotation_consistency_mask(angle1, angle2[best_idx], ok)
+
+    # enforce uniqueness on kf2 side (vbMatched2): best distance wins
+    M = uv2.shape[0]
+    INF = hamming.MAX_DIST
+    d_eff = jnp.where(ok, best, INF)
+    per2_best = jnp.full((M,), INF, jnp.int32).at[best_idx].min(d_eff)
+    win = ok & (d_eff == per2_best[best_idx])
+    return jnp.where(win, best_idx, -1), best
+
+
+# ---------------------------------------------------------------------------
+# map-point fusion into a keyframe (reference ORBmatcher::Fuse,
+#  ORBmatcher.cpp:671-821)
+# ---------------------------------------------------------------------------
+
+
+def fuse_match(
+    uv_kp: jax.Array,  # [N,2] keyframe keypoints
+    oct_kp: jax.Array,  # [N]
+    ur_kp: jax.Array,  # [N]
+    desc_kp: jax.Array,  # [N,8]
+    valid_kp: jax.Array,  # [N]
+    uv_pt: jax.Array,  # [P,2] projected map points
+    ur_pt: jax.Array,  # [P]
+    level_pt: jax.Array,  # [P] predicted level
+    desc_pt: jax.Array,  # [P,8]
+    valid_pt: jax.Array,  # [P] passed frustum/scale/view gates
+    scale_factors: jax.Array,
+    inv_level_sigma2: jax.Array,
+    th: float = 3.0,
+):
+    """For each candidate point, the best keyframe feature within the fuse
+    gates: radius th*sf(pred), octave in [pred-1, pred], reprojection chi2
+    < 5.99 (mono feature) / 7.8 (stereo feature), Hamming <= TH_LOW.
+    Returns per-point best feature index (-1 none) and distance."""
+    radius = th * scale_factors[level_pt]  # [P]
+    du = uv_kp[None, :, 0] - uv_pt[:, 0:1]
+    dv = uv_kp[None, :, 1] - uv_pt[:, 1:2]
+    window = (jnp.abs(du) <= radius[:, None]) & (jnp.abs(dv) <= radius[:, None])
+
+    oc = oct_kp[None, :]
+    pl = level_pt[:, None]
+    oct_gate = (oc >= pl - 1) & (oc <= pl)
+
+    er = ur_pt[:, None] - ur_kp[None, :]
+    e2_stereo = du * du + dv * dv + er * er
+    e2_mono = du * du + dv * dv
+    isig = inv_level_sigma2[oct_kp][None, :]
+    chi_ok = jnp.where(
+        ur_kp[None, :] >= 0, e2_stereo * isig <= 7.8, e2_mono * isig <= 5.99
+    )
+
+    mask = window & oct_gate & chi_ok & valid_pt[:, None] & valid_kp[None, :]
+    dist = hamming.hamming_matrix(desc_pt, desc_kp)
+    best_idx, best = hamming.masked_argmin(dist, mask)
+    ok = best <= hamming.TH_LOW
+    return jnp.where(ok, best_idx, -1), best
+
+
+# ---------------------------------------------------------------------------
 # local-map projection matching
 # (reference SearchByProjection(Frame&, vector<MapPoint*>&, th),
 #  ORBmatcher.cpp:16-100)

@@ -1,0 +1,507 @@
+"""Local mapping: keyframe processing, triangulation, fusion, local BA,
+keyframe culling.
+
+Re-implements the reference LocalMapping thread (src/LocalMapping.cpp) as a
+host-sequenced pipeline stage: `insert_keyframe` runs the same steps the
+mapping thread runs per queued keyframe — map-point culling, new-point
+triangulation against covisible keyframes, duplicate fusion, local bundle
+adjustment (TPU Schur/PCG solver), keyframe culling. The reference's
+stop/interrupt flag protocol (LocalMapping.cpp:534-607) maps to simple
+host flags since stages run interleaved on one queue.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..ops import ba, matchers
+from .frontend import Frontend
+from .map import SlamMap
+
+
+class LocalMapper:
+    def __init__(self, config: SlamConfig, frontend: Frontend, slam_map: SlamMap):
+        self.config = config
+        self.frontend = frontend
+        self.map = slam_map
+        self.cam = frontend.camera
+        self.recent_points: List[int] = []  # (for MapPointCulling)
+        self._stopped = False
+        self._accept = True
+        self._abort_ba = False
+        self._queue: List[int] = []
+        self.n_processed = 0
+
+        sf = frontend.scale_factors
+        sig2 = jnp.asarray(frontend.level_sigma2, jnp.float32)
+        inv_sig2 = frontend.inv_level_sigma2
+
+        self._jit_epipolar = jax.jit(
+            lambda uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep: matchers.epipolar_match(
+                uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep, sf, sig2
+            )
+        )
+        self._jit_fuse = jax.jit(
+            lambda uv_kp, o_kp, ur_kp, d_kp, v_kp, uv_pt, ur_pt, l_pt, d_pt, v_pt: matchers.fuse_match(
+                uv_kp, o_kp, ur_kp, d_kp, v_kp,
+                uv_pt, ur_pt, l_pt, d_pt, v_pt,
+                sf, inv_sig2,
+            )
+        )
+        self._jit_ba = ba.ba_solve_jit
+
+    # ------------------------------------------------------- tracker API
+    def is_stopped(self) -> bool:
+        return self._stopped
+
+    def accept_keyframes(self) -> bool:
+        return self._accept
+
+    def interrupt_ba(self):
+        self._abort_ba = True
+
+    def queue_size(self) -> int:
+        return len(self._queue)
+
+    def request_stop(self):
+        self._stopped = True
+
+    def release(self):
+        self._stopped = False
+
+    # -------------------------------------------------------------------
+
+    def insert_keyframe(self, kf: int):
+        """Synchronous equivalent of the mapping thread loop body
+        (reference LocalMapping::Run, LocalMapping.cpp:22-107)."""
+        if self._stopped:
+            self._queue.append(kf)
+            return
+        self._queue.append(kf)
+        while self._queue:
+            k = self._queue.pop(0)
+            self._process(k)
+
+    def _process(self, kf: int):
+        self.map.update_connections(kf)
+        self._cull_map_points(kf)
+        self._create_new_points(kf)
+        if not self._queue:
+            self._fuse_neighbors(kf)
+        if self.map.n_keyframes() > 2 and not self._queue:
+            self._abort_ba = False
+            self._local_ba(kf)
+            self._cull_keyframes(kf)
+        self.n_processed += 1
+
+    # -------------------------------------------------------------------
+
+    def _cull_map_points(self, kf: int):
+        """Reference LocalMapping::MapPointCulling (LocalMapping.cpp:165-195)."""
+        th_obs = 3  # stereo
+        keep = []
+        for pid in self.recent_points:
+            if pid not in self.map.pt_valid:
+                continue
+            found = self.map.pt_found.get(pid, 1)
+            visible = max(self.map.pt_visible.get(pid, 1), 1)
+            age = kf - self.map.pt_first_kf_id.get(pid, kf)
+            if found / visible < 0.25:
+                self.map.remove_point(pid)
+            elif age >= 2 and self.map.n_observations(pid) <= th_obs:
+                self.map.remove_point(pid)
+            elif age >= 3:
+                pass  # survives culling, leaves the probation list
+            else:
+                keep.append(pid)
+        self.recent_points = keep
+
+    # -------------------------------------------------------------------
+
+    def _fundamental(self, kf1: int, kf2: int) -> np.ndarray:
+        """Reference LocalMapping::ComputeF12 (LocalMapping.cpp:512-532)."""
+        T1 = self.map.kf_pose[kf1].astype(np.float64)
+        T2 = self.map.kf_pose[kf2].astype(np.float64)
+        T12 = T1 @ np.linalg.inv(T2)
+        R12, t12 = T12[:3, :3], T12[:3, 3]
+        tx = np.array(
+            [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]], [-t12[1], t12[0], 0]]
+        )
+        c = self.config.camera
+        K = np.array([[c.fx, 0, c.cx], [0, c.fy, c.cy], [0, 0, 1]])
+        Kinv = np.linalg.inv(K)
+        return (Kinv.T @ tx @ R12 @ Kinv).astype(np.float32)
+
+    def _create_new_points(self, kf1: int):
+        """Reference LocalMapping::CreateNewMapPoints (LocalMapping.cpp:197-431)."""
+        c = self.config.camera
+        b = self.config.baseline
+        ratio_factor = 1.5 * self.map.scale_factor
+        f1 = self.map.kf_frame[kf1]
+        T1 = self.map.kf_pose[kf1].astype(np.float64)
+        O1 = self.map.kf_center(kf1)
+        pids1 = self.map.kf_point[kf1]
+        free1 = f1.valid & (pids1 < 0)
+        stereo1 = f1.u_right >= 0
+
+        neighbors = self.map.covisible_keyframes(kf1, 10)
+        for kf2 in neighbors:
+            O2 = self.map.kf_center(kf2)
+            baseline = np.linalg.norm(O2 - O1)
+            if baseline < b:  # stereo rule (LocalMapping.cpp:232-239)
+                continue
+            f2 = self.map.kf_frame[kf2]
+            T2 = self.map.kf_pose[kf2].astype(np.float64)
+            pids2 = self.map.kf_point[kf2]
+            free2 = f2.valid & (pids2 < 0)
+            stereo2 = f2.u_right >= 0
+            F12 = self._fundamental(kf1, kf2)
+            # epipole of kf1 center in kf2
+            C2 = T2[:3, :3] @ O1 + T2[:3, 3]
+            ep = np.array(
+                [c.fx * C2[0] / C2[2] + c.cx, c.fy * C2[1] / C2[2] + c.cy],
+                np.float32,
+            )
+            m12, _ = self._jit_epipolar(
+                jnp.asarray(f1.uv), jnp.asarray(f1.desc), jnp.asarray(free1),
+                jnp.asarray(f1.angle), jnp.asarray(stereo1),
+                jnp.asarray(f2.uv), jnp.asarray(f2.octave), jnp.asarray(f2.desc),
+                jnp.asarray(free2), jnp.asarray(f2.angle), jnp.asarray(stereo2),
+                jnp.asarray(F12), jnp.asarray(ep),
+            )
+            m12 = np.asarray(m12)
+            pairs = [(i, int(m12[i])) for i in np.nonzero(m12 >= 0)[0]]
+            created = self._triangulate_pairs(
+                kf1, kf2, pairs, T1, T2, O1, O2, ratio_factor
+            )
+            free1 = f1.valid & (self.map.kf_point[kf1] < 0)
+
+    def _triangulate_pairs(self, kf1, kf2, pairs, T1, T2, O1, O2, ratio_factor):
+        """Triangulation + acceptance gates (reference LocalMapping.cpp:274-407)."""
+        c = self.config.camera
+        f1 = self.map.kf_frame[kf1]
+        f2 = self.map.kf_frame[kf2]
+        sig2 = self.frontend.level_sigma2
+        sf = self.map.scale_factors
+        n_created = 0
+        for i1, i2 in pairs:
+            kp1, kp2 = f1.uv[i1], f2.uv[i2]
+            xn1 = np.array([(kp1[0] - c.cx) / c.fx, (kp1[1] - c.cy) / c.fy, 1.0])
+            xn2 = np.array([(kp2[0] - c.cx) / c.fx, (kp2[1] - c.cy) / c.fy, 1.0])
+            ray1 = T1[:3, :3].T @ xn1
+            ray2 = T2[:3, :3].T @ xn2
+            cos_rays = ray1 @ ray2 / (np.linalg.norm(ray1) * np.linalg.norm(ray2))
+            s1, s2 = f1.u_right[i1] >= 0, f2.u_right[i2] >= 0
+            cos_st1 = (
+                np.cos(2 * np.arctan2(self.config.baseline / 2, f1.depth[i1]))
+                if s1 else 2.0
+            )
+            cos_st2 = (
+                np.cos(2 * np.arctan2(self.config.baseline / 2, f2.depth[i2]))
+                if s2 else 2.0
+            )
+            cos_stereo = min(cos_st1, cos_st2)
+
+            if cos_rays < cos_stereo and cos_rays > 0 and (s1 or s2 or cos_rays < 0.9998):
+                A = np.stack([
+                    xn1[0] * T1[2, :] - T1[0, :],
+                    xn1[1] * T1[2, :] - T1[1, :],
+                    xn2[0] * T2[2, :] - T2[0, :],
+                    xn2[1] * T2[2, :] - T2[1, :],
+                ])
+                _, _, Vt = np.linalg.svd(A)
+                h = Vt[-1]
+                if abs(h[3]) < 1e-12:
+                    continue
+                x3d = h[:3] / h[3]
+            elif s1 and cos_st1 < cos_st2:
+                x3d = self._unproject_kf(kf1, i1)
+            elif s2 and cos_st2 < cos_st1:
+                x3d = self._unproject_kf(kf2, i2)
+            else:
+                continue
+
+            ok = True
+            for (T, f, i, st) in ((T1, f1, i1, s1), (T2, f2, i2, s2)):
+                pc = T[:3, :3] @ x3d + T[:3, 3]
+                if pc[2] <= 0:
+                    ok = False
+                    break
+                s2_lvl = sig2[f.octave[i]]
+                u = c.fx * pc[0] / pc[2] + c.cx
+                v = c.fy * pc[1] / pc[2] + c.cy
+                ex, ey = u - f.uv[i][0], v - f.uv[i][1]
+                if st:
+                    er = (u - c.bf / pc[2]) - f.u_right[i]
+                    if ex * ex + ey * ey + er * er > 7.8 * s2_lvl:
+                        ok = False
+                        break
+                else:
+                    if ex * ex + ey * ey > 5.991 * s2_lvl:
+                        ok = False
+                        break
+            if not ok:
+                continue
+
+            d1 = np.linalg.norm(x3d - O1)
+            d2 = np.linalg.norm(x3d - O2)
+            if d1 <= 0 or d2 <= 0:
+                continue
+            ratio_dist = d2 / d1
+            ratio_oct = sf[f1.octave[i1]] / sf[f2.octave[i2]]
+            if ratio_dist * ratio_factor < ratio_oct or ratio_dist > ratio_oct * ratio_factor:
+                continue
+
+            pid = self.map.add_point(x3d, kf1, f1.desc[i1])
+            self.map.add_observation(pid, kf1, int(i1))
+            self.map.add_observation(pid, kf2, int(i2))
+            self.map.compute_distinctive_descriptor(pid)
+            self.map.update_normal_and_depth(pid)
+            self.map.pt_first_kf_id[pid] = kf1
+            self.recent_points.append(pid)
+            n_created += 1
+        return n_created
+
+    def _unproject_kf(self, kf: int, i: int) -> np.ndarray:
+        c = self.config.camera
+        f = self.map.kf_frame[kf]
+        z = f.depth[i]
+        u, v = f.uv[i]
+        pc = np.array([(u - c.cx) * z / c.fx, (v - c.cy) * z / c.fy, z, 1.0])
+        return (np.linalg.inv(self.map.kf_pose[kf].astype(np.float64)) @ pc)[:3]
+
+    # -------------------------------------------------------------------
+
+    def _fuse_neighbors(self, kf: int):
+        """Reference LocalMapping::SearchInNeighbors (LocalMapping.cpp:433-510)."""
+        targets = []
+        for nb in self.map.covisible_keyframes(kf, 10):
+            targets.append(nb)
+            for nb2 in self.map.covisible_keyframes(nb, 5):
+                if nb2 != kf and nb2 not in targets:
+                    targets.append(nb2)
+
+        cur_pids = [
+            int(p) for p in self.map.kf_point[kf] if p >= 0 and p in self.map.pt_valid
+        ]
+        # forward: fuse current KF's points into each target
+        for t in targets:
+            self._fuse_into(t, cur_pids)
+        # backward: fuse all target points into current KF
+        fuse_cands: List[int] = []
+        seen = set()
+        for t in targets:
+            for p in self.map.kf_point[t]:
+                if p >= 0 and p in self.map.pt_valid and p not in seen:
+                    seen.add(p)
+                    fuse_cands.append(int(p))
+        self._fuse_into(kf, fuse_cands)
+
+        # refresh point stats + connections of the current keyframe
+        for pid in self.map.kf_point[kf]:
+            if pid >= 0 and pid in self.map.pt_valid:
+                self.map.compute_distinctive_descriptor(int(pid))
+                self.map.update_normal_and_depth(int(pid))
+        self.map.update_connections(kf)
+
+    def _fuse_into(self, kf: int, pids: List[int]):
+        if not pids:
+            return
+        c = self.config.camera
+        f = self.map.kf_frame[kf]
+        kf_pids = self.map.kf_point[kf]
+        T = self.map.kf_pose[kf].astype(np.float64)
+        Ow = self.map.kf_center(kf)
+        # host-side frustum gates (cheap numpy), device for the matching
+        pids = [p for p in pids if kf not in self.map.pt_obs.get(p, {})]
+        if not pids:
+            return
+        pos, desc, normal, dmin, dmax = self.map.points_array(pids)
+        pc = pos.astype(np.float64) @ T[:3, :3].T + T[:3, 3]
+        z = pc[:, 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        u = c.fx * pc[:, 0] / zs + c.cx
+        v = c.fy * pc[:, 1] / zs + c.cy
+        ur = u - c.bf / zs
+        po = pos.astype(np.float64) - Ow
+        dist = np.linalg.norm(po, axis=1)
+        viewcos = np.einsum("ij,ij->i", po, normal) / np.maximum(dist, 1e-9)
+        visible = (
+            (z > 0)
+            & (u >= 0) & (u < c.width) & (v >= 0) & (v < c.height)
+            & (dist >= dmin) & (dist <= dmax)
+            & (viewcos > 0.5)
+        )
+        if not visible.any():
+            return
+        ratio = dmax / np.maximum(dist, 1e-9)
+        level = np.clip(
+            np.ceil(np.log(np.maximum(ratio, 1e-9)) / self.map.log_scale),
+            0, self.map.n_levels - 1,
+        ).astype(np.int32)
+
+        P = 1 << int(np.ceil(np.log2(max(len(pids), 256))))
+        def padto(a, fill=0):
+            out = np.full((P,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        best_idx, best_dist = self._jit_fuse(
+            jnp.asarray(f.uv), jnp.asarray(f.octave), jnp.asarray(f.u_right),
+            jnp.asarray(f.desc), jnp.asarray(f.valid),
+            jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
+            jnp.asarray(padto(ur.astype(np.float32))),
+            jnp.asarray(padto(level)),
+            jnp.asarray(padto(desc)),
+            jnp.asarray(padto(visible)),
+        )
+        best_idx = np.asarray(best_idx)
+        for j, pid in enumerate(pids):
+            fi = int(best_idx[j])
+            if fi < 0:
+                continue
+            pid = self.map.resolve_replaced(pid)
+            if pid not in self.map.pt_valid or kf in self.map.pt_obs[pid]:
+                continue
+            existing = int(kf_pids[fi])
+            if existing >= 0 and existing in self.map.pt_valid:
+                # replace the one with fewer observations (ORBmatcher.cpp:795-807)
+                if self.map.n_observations(existing) > self.map.n_observations(pid):
+                    self.map.replace_point(pid, existing)
+                else:
+                    self.map.replace_point(existing, pid)
+            else:
+                self.map.add_observation(pid, kf, fi)
+
+    # -------------------------------------------------------------------
+
+    def _local_ba(self, kf: int):
+        """Assemble and solve the local bundle (reference
+        Optimizer::LocalBundleAdjustment, src/Optimizer.cpp:426-787)."""
+        local_kfs = [kf] + self.map.covisible_keyframes(kf)
+        local_set = set(local_kfs)
+        pts: List[int] = []
+        seen = set()
+        for k in local_kfs:
+            for p in self.map.kf_point[k]:
+                if p >= 0 and p in self.map.pt_valid and p not in seen:
+                    seen.add(p)
+                    pts.append(int(p))
+        fixed: List[int] = []
+        for p in pts:
+            for k in self.map.pt_obs[p]:
+                if k not in local_set and k in self.map.kf_valid and k not in fixed:
+                    fixed.append(k)
+        all_kfs = local_kfs + fixed
+        kf_index = {k: i for i, k in enumerate(all_kfs)}
+        pt_index = {p: i for i, p in enumerate(pts)}
+
+        obs_kf, obs_pt, obs, isig, ster = [], [], [], [], []
+        edge_meta: List[Tuple[int, int]] = []  # (pid, kf)
+        for p in pts:
+            for k, idx in self.map.pt_obs[p].items():
+                if k not in kf_index:
+                    continue
+                f = self.map.kf_frame[k]
+                obs_kf.append(kf_index[k])
+                obs_pt.append(pt_index[p])
+                obs.append([f.uv[idx][0], f.uv[idx][1], f.u_right[idx]])
+                isig.append(1.0 / self.frontend.level_sigma2[f.octave[idx]])
+                ster.append(f.u_right[idx] >= 0)
+                edge_meta.append((p, k))
+        if len(obs) < 10 or len(pts) < 3:
+            return
+
+        # pad to pow2 buckets to bound recompilation
+        def pow2(n, lo):
+            import math
+            return 1 << max(int(np.ceil(np.log2(max(n, lo)))), int(np.log2(lo)))
+
+        K = pow2(len(all_kfs), 8)
+        P = pow2(len(pts), 256)
+        E = pow2(len(obs), 1024)
+
+        poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        for k, i in kf_index.items():
+            poses[i] = self.map.kf_pose[k]
+        points = np.zeros((P, 3), np.float32)
+        for p, i in pt_index.items():
+            points[i] = self.map.pt_pos[p]
+        fixed_mask = np.ones(K, bool)
+        for k in local_kfs:
+            fixed_mask[kf_index[k]] = k == 0  # KF0 stays fixed (gauge)
+        if all(fixed_mask[kf_index[k]] for k in local_kfs):
+            return
+
+        Epad = E - len(obs)
+        prob = ba.BAProblem(
+            poses=jnp.asarray(poses),
+            points=jnp.asarray(points),
+            obs_kf=jnp.asarray(np.pad(np.array(obs_kf, np.int32), (0, Epad))),
+            obs_pt=jnp.asarray(np.pad(np.array(obs_pt, np.int32), (0, Epad))),
+            obs=jnp.asarray(np.pad(np.array(obs, np.float32), ((0, Epad), (0, 0)))),
+            inv_sigma2=jnp.asarray(np.pad(np.array(isig, np.float32), (0, Epad))),
+            is_stereo=jnp.asarray(np.pad(np.array(ster, bool), (0, Epad))),
+            edge_valid=jnp.asarray(
+                np.pad(np.ones(len(obs), bool), (0, Epad))
+            ),
+            pose_fixed=jnp.asarray(fixed_mask),
+        )
+        res = self._jit_ba(prob, self.cam)
+
+        new_poses = np.asarray(res.poses)
+        new_points = np.asarray(res.points)
+        inlier = np.asarray(res.edge_inlier)
+        for k, i in kf_index.items():
+            if not fixed_mask[i]:
+                self.map.kf_pose[k] = new_poses[i]
+        for p, i in pt_index.items():
+            if p in self.map.pt_valid:
+                self.map.pt_pos[p] = new_points[i].astype(np.float64)
+        # erase outlier observations (reference Optimizer.cpp:718-760)
+        for e, (p, k) in enumerate(edge_meta):
+            if not inlier[e] and p in self.map.pt_valid:
+                self.map.erase_observation(p, k)
+        for p in pts:
+            if p in self.map.pt_valid:
+                self.map.update_normal_and_depth(p)
+
+    # -------------------------------------------------------------------
+
+    def _cull_keyframes(self, kf: int):
+        """Reference LocalMapping::KeyFrameCulling (LocalMapping.cpp:609-670):
+        a local keyframe is redundant if >=90% of its points are seen by >=3
+        other keyframes at the same or finer scale."""
+        for k in self.map.covisible_keyframes(kf):
+            if k == 0 or k not in self.map.kf_valid:
+                continue
+            f = self.map.kf_frame[k]
+            n_pts = 0
+            n_redundant = 0
+            for idx, pid in enumerate(self.map.kf_point[k]):
+                if pid < 0 or pid not in self.map.pt_valid:
+                    continue
+                # stereo rule: only near points count (LocalMapping.cpp:628-631)
+                if f.depth[idx] > self.config.depth_threshold or f.depth[idx] < 0:
+                    continue
+                n_pts += 1
+                if self.map.n_observations(int(pid)) <= 3:
+                    continue
+                level = f.octave[idx]
+                n_obs_fine = 0
+                for ok, oidx in self.map.pt_obs[int(pid)].items():
+                    if ok == k or ok not in self.map.kf_valid:
+                        continue
+                    if self.map.kf_frame[ok].octave[oidx] <= level + 1:
+                        n_obs_fine += 1
+                        if n_obs_fine >= 3:
+                            break
+                if n_obs_fine >= 3:
+                    n_redundant += 1
+            if n_pts > 0 and n_redundant > 0.9 * n_pts:
+                self.map.remove_keyframe(k)
