@@ -118,7 +118,16 @@ def _edge_weights(r, comp, prob: BAProblem, depth_ok, use_huber):
     return w, e2, rho
 
 
-def _assemble(poses, points, prob, cam, use_huber):
+def _reduce(x, axis_name):
+    """Cross-device reduction hook: under shard_map with edges sharded on
+    `axis_name`, partial segment-sums become full sums via psum; single
+    device (axis_name=None) is the identity. This one line is the whole
+    distributed-BA communication pattern (north star: psum of reduced
+    systems over ICI)."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def _assemble(poses, points, prob, cam, use_huber, axis_name=None):
     """Gradient + diagonal blocks + total robust chi2."""
     K = prob.poses.shape[0]
     P = prob.points.shape[0]
@@ -134,10 +143,11 @@ def _assemble(poses, points, prob, cam, use_huber):
     Hpp = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
         _einsum("eci,ec,ecj->eij", Jp, Wc, Jp)
     )
-    return gc, gp, Hcc, Hpp, jnp.sum(rho)
+    gc, gp, Hcc, Hpp = (_reduce(t, axis_name) for t in (gc, gp, Hcc, Hpp))
+    return gc, gp, Hcc, Hpp, _reduce(jnp.sum(rho), axis_name)
 
 
-def _hv_product(vc, vp, poses, points, prob, cam, w_comp, Jc, Jp, lam):
+def _hv_product(vc, vp, poses, points, prob, cam, w_comp, Jc, Jp, lam, axis_name=None):
     """(H + lam*I) @ v, matrix-free over edges."""
     a = _einsum("eci,ei->ec", Jc, vc[prob.obs_kf]) + _einsum(
         "eci,ei->ec", Jp, vp[prob.obs_pt]
@@ -146,16 +156,16 @@ def _hv_product(vc, vp, poses, points, prob, cam, w_comp, Jc, Jp, lam):
     K, P = vc.shape[0], vp.shape[0]
     Hc = jnp.zeros((K, 6)).at[prob.obs_kf].add(_einsum("eci,ec->ei", Jc, Wa))
     Hp = jnp.zeros((P, 3)).at[prob.obs_pt].add(_einsum("eci,ec->ei", Jp, Wa))
-    return Hc + lam * vc, Hp + lam * vp
+    return _reduce(Hc, axis_name) + lam * vc, _reduce(Hp, axis_name) + lam * vp
 
 
-def _pcg_solve(prob, cam, poses, points, use_huber, lam, n_cg):
+def _pcg_solve(prob, cam, poses, points, use_huber, lam, n_cg, axis_name=None):
     """Solve (H+lam I) dx = -g with block-Jacobi PCG. Returns (dxc, dxp, g)."""
     K = prob.poses.shape[0]
     r_, Jc, Jp, comp, depth_ok = _edge_terms(poses, points, prob, cam)
     w, _, _ = _edge_weights(r_, comp, prob, depth_ok, use_huber)
     w_comp = w[:, None] * comp
-    gc, gp, Hcc, Hpp, _ = _assemble(poses, points, prob, cam, use_huber)
+    gc, gp, Hcc, Hpp, _ = _assemble(poses, points, prob, cam, use_huber, axis_name)
 
     # freeze fixed poses: zero gradient rows
     free = ~prob.pose_fixed
@@ -173,7 +183,9 @@ def _pcg_solve(prob, cam, poses, points, use_huber, lam, n_cg):
 
     def hv(vc, vp):
         vc = vc * free[:, None]
-        Hc, Hp = _hv_product(vc, vp, poses, points, prob, cam, w_comp, Jc, Jp, lam)
+        Hc, Hp = _hv_product(
+            vc, vp, poses, points, prob, cam, w_comp, Jc, Jp, lam, axis_name
+        )
         return Hc * free[:, None], Hp
 
     bc, bp = gc, gp  # we solve (H+lam) dx = g then negate (dx -> -dx)
@@ -206,21 +218,21 @@ def _pcg_solve(prob, cam, poses, points, use_huber, lam, n_cg):
     return -xc, -xp, (gc, gp)
 
 
-def _lm_run(prob, cam, poses, points, use_huber, n_iters, n_cg):
-    gc, gp, Hcc, Hpp, F0 = _assemble(poses, points, prob, cam, use_huber)
+def _lm_run(prob, cam, poses, points, use_huber, n_iters, n_cg, axis_name=None):
+    gc, gp, Hcc, Hpp, F0 = _assemble(poses, points, prob, cam, use_huber, axis_name)
     diag_max = jnp.maximum(
         jnp.max(jax.vmap(jnp.diag)(Hcc)), jnp.max(jax.vmap(jnp.diag)(Hpp))
     )
     lam0 = 1e-5 * diag_max
 
     def total(poses_, points_):
-        *_, F = _assemble(poses_, points_, prob, cam, use_huber)
+        *_, F = _assemble(poses_, points_, prob, cam, use_huber, axis_name)
         return F
 
     def step(carry, _):
         poses, points, lam, ni, F = carry
         dxc, dxp, (gc, gp) = _pcg_solve(
-            prob, cam, poses, points, use_huber, lam, n_cg
+            prob, cam, poses, points, use_huber, lam, n_cg, axis_name
         )
         dxc = dxc * (~prob.pose_fixed)[:, None]
         poses_new = se3.retract(poses, dxc)
@@ -256,19 +268,24 @@ def ba_solve(
     n_iters_first: int = 5,
     n_iters_second: int = 10,
     n_cg: int = 30,
+    axis_name=None,
 ) -> BAResult:
     """Two-stage schedule of the reference LocalBundleAdjustment:
-    5 LM iters -> chi2 outlier rejection -> 10 LM iters -> final inliers."""
+    5 LM iters -> chi2 outlier rejection -> 10 LM iters -> final inliers.
+
+    With `axis_name` set (inside shard_map over an edge-sharded mesh axis),
+    this same program is the DISTRIBUTED bundle adjuster: each device owns
+    an edge shard, reductions ride psum over ICI."""
     poses, points = prob.poses, prob.points
     poses, points, _ = _lm_run(
-        prob, cam, poses, points, jnp.asarray(True), n_iters_first, n_cg
+        prob, cam, poses, points, jnp.asarray(True), n_iters_first, n_cg, axis_name
     )
     e2, depth_ok = edge_chi2(poses, points, prob, cam)
     th = jnp.where(prob.is_stereo, CHI2_STEREO, CHI2_MONO)
     keep = prob.edge_valid & (e2 <= th) & depth_ok
     prob2 = prob._replace(edge_valid=keep)
     poses, points, F = _lm_run(
-        prob2, cam, poses, points, jnp.asarray(True), n_iters_second, n_cg
+        prob2, cam, poses, points, jnp.asarray(True), n_iters_second, n_cg, axis_name
     )
     e2, depth_ok = edge_chi2(poses, points, prob2, cam)
     inlier = keep & (e2 <= th) & depth_ok
