@@ -1,0 +1,235 @@
+"""Relocalization: BoW candidate retrieval + hypothesis-parallel EPnP.
+
+Re-implements the reference Tracking::Relocalization (src/Tracking.cpp:
+1177-1346): query the keyframe database, match candidates by descriptor,
+solve EPnP RANSAC per candidate (here: all hypotheses batched on device),
+refine with motion-only BA, widen with projection search if needed,
+accept at >=50 inliers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..ops import hamming, matchers, pnp, pose_opt
+from ..vocab import bow as bow_mod
+from ..vocab.database import KeyFrameDatabase
+from .frontend import FrameHost, Frontend
+from .map import SlamMap
+
+
+class Relocalizer:
+    def __init__(
+        self,
+        config: SlamConfig,
+        frontend: Frontend,
+        slam_map: SlamMap,
+        vocab: bow_mod.Vocabulary,
+    ):
+        self.config = config
+        self.frontend = frontend
+        self.map = slam_map
+        self.vocab = vocab
+        self.database = KeyFrameDatabase(vocab.n_words)
+        self._key = jax.random.PRNGKey(42)
+
+        self._jit_transform = jax.jit(
+            lambda d, v: bow_mod.transform_jit(vocab, d, v)
+        )
+        self._jit_ransac = jax.jit(pnp.pnp_ransac, static_argnames=("n_hyp",))
+        self._jit_pose_opt = jax.jit(
+            lambda T0, pw, obs, isig, ster, valid: pose_opt.pose_optimize(
+                T0, pw, obs, isig, ster, valid, frontend.camera
+            )
+        )
+
+    # ------------------------------------------------------------------
+
+    def compute_bow(self, desc: np.ndarray, valid: np.ndarray):
+        words, vec = self._jit_transform(jnp.asarray(desc), jnp.asarray(valid))
+        return np.asarray(words), np.asarray(vec)
+
+    def add_keyframe(self, kf: int):
+        f = self.map.kf_frame[kf]
+        words, vec = self.compute_bow(f.desc, f.valid)
+        self.database.add(kf, words, vec)
+
+    def remove_keyframe(self, kf: int):
+        self.database.erase(kf)
+
+    # ------------------------------------------------------------------
+
+    def relocalize(self, frame: FrameHost) -> bool:
+        words, vec = self.compute_bow(frame.desc, frame.valid)
+        candidates = self.database.detect_relocalization_candidates(
+            words, vec, self.map
+        )
+        if not candidates:
+            return False
+
+        cam = self.config.camera
+        sigma2 = self.frontend.level_sigma2
+        for kf in candidates[:5]:
+            if kf not in self.map.kf_valid:
+                continue
+            pids = self._bow_match_keyframe(frame, kf)
+            n_matches = int((pids >= 0).sum())
+            if n_matches < 15:
+                continue
+
+            # EPnP RANSAC over the 2D-3D matches (normalized coordinates)
+            N = len(pids)
+            pw = np.zeros((N, 3), np.float32)
+            valid = pids >= 0
+            for i in np.nonzero(valid)[0]:
+                pw[i] = self.map.pt_pos[int(pids[i])]
+            obs_n = np.stack(
+                [
+                    (frame.uv[:, 0] - cam.cx) / cam.fx,
+                    (frame.uv[:, 1] - cam.cy) / cam.fy,
+                ],
+                axis=1,
+            ).astype(np.float32)
+            max_err2 = (5.991 * sigma2[frame.octave] / (cam.fx * cam.fx)).astype(
+                np.float32
+            )
+            self._key, sub = jax.random.split(self._key)
+            res = self._jit_ransac(
+                sub, jnp.asarray(pw), jnp.asarray(obs_n), jnp.asarray(valid),
+                jnp.asarray(max_err2),
+            )
+            if int(res.n_inliers) < 10:
+                continue
+            Tcw = np.eye(4, dtype=np.float32)
+            Tcw[:3, :3] = np.asarray(res.R)
+            Tcw[:3, 3] = np.asarray(res.t)
+            frame.Tcw = Tcw
+            inl = np.asarray(res.inliers)
+            frame.point_ids[:] = np.where(inl & valid, pids, -1)
+
+            n_good = self._optimize(frame)
+            if n_good < 10:
+                continue
+            if n_good < 50:
+                n_good = self._widen(frame, kf, th=10.0, orb_dist=100)
+                if 30 <= n_good < 50:
+                    n_good = self._widen(frame, kf, th=3.0, orb_dist=64)
+            if n_good >= 50:
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+
+    def _bow_match_keyframe(self, frame: FrameHost, kf: int) -> np.ndarray:
+        """SearchByBoW(KF, Frame) equivalent (ratio 0.75, rotation check)."""
+        kff = self.map.kf_frame[kf]
+        kf_pids = self.map.kf_point[kf]
+        has_pt = kf_pids >= 0
+        desc = np.zeros((len(kf_pids), 8), np.uint32)
+        for i in np.nonzero(has_pt)[0]:
+            pid = int(kf_pids[i])
+            if pid in self.map.pt_valid:
+                desc[i] = self.map.pt_desc[pid]
+            else:
+                has_pt[i] = False
+        d = hamming.hamming_matrix(jnp.asarray(desc), jnp.asarray(frame.desc))
+        mask = jnp.asarray(has_pt)[:, None] & jnp.asarray(frame.valid)[None, :]
+        idx, best, second = hamming.masked_two_smallest(d, mask)
+        idx, best, second = np.asarray(idx), np.asarray(best), np.asarray(second)
+        ok = (best < hamming.TH_LOW) & (best < 0.75 * second)
+        keep = np.asarray(
+            matchers.rotation_consistency_mask(
+                jnp.asarray(kff.angle), jnp.asarray(frame.angle[idx]), jnp.asarray(ok)
+            )
+        )
+        out = np.full(len(frame.valid), -1, np.int64)
+        order = np.argsort(best)
+        used = np.zeros(len(frame.valid), bool)
+        for i in order:
+            if keep[i] and not used[idx[i]]:
+                out[idx[i]] = kf_pids[i]
+                used[idx[i]] = True
+        return out
+
+    def _optimize(self, frame: FrameHost) -> int:
+        N = len(frame.valid)
+        pw = np.zeros((N, 3), np.float32)
+        valid = np.zeros(N, bool)
+        for i in np.nonzero(frame.point_ids >= 0)[0]:
+            pid = int(frame.point_ids[i])
+            if pid in self.map.pt_valid:
+                pw[i] = self.map.pt_pos[pid]
+                valid[i] = True
+        if valid.sum() < 3:
+            return 0
+        obs = np.concatenate([frame.uv, frame.u_right[:, None]], axis=1).astype(
+            np.float32
+        )
+        inv_sig = 1.0 / self.frontend.level_sigma2[frame.octave]
+        res = self._jit_pose_opt(
+            jnp.asarray(frame.Tcw), jnp.asarray(pw), jnp.asarray(obs),
+            jnp.asarray(inv_sig, jnp.float32), jnp.asarray(frame.u_right >= 0),
+            jnp.asarray(valid),
+        )
+        frame.Tcw = np.asarray(res.Tcw)
+        inlier = np.asarray(res.inlier)
+        frame.point_ids[valid & ~inlier] = -1
+        return int(res.n_inliers)
+
+    def _widen(self, frame: FrameHost, kf: int, th: float, orb_dist: int) -> int:
+        """SearchByProjection against the candidate keyframe's points
+        (reference ORBmatcher.cpp:1317-1444) then re-optimize."""
+        cam = self.config.camera
+        kf_pids = self.map.kf_point[kf]
+        already = set(int(p) for p in frame.point_ids[frame.point_ids >= 0])
+        cand, desc_rows, pos_rows, oct_rows = [], [], [], []
+        kff = self.map.kf_frame[kf]
+        for i in np.nonzero(kf_pids >= 0)[0]:
+            pid = int(kf_pids[i])
+            if pid in self.map.pt_valid and pid not in already:
+                cand.append(pid)
+                desc_rows.append(self.map.pt_desc[pid])
+                pos_rows.append(self.map.pt_pos[pid])
+                oct_rows.append(kff.octave[i])
+        if not cand:
+            return self._optimize(frame)
+        pos = np.stack(pos_rows).astype(np.float64)
+        Rcw = frame.Tcw[:3, :3].astype(np.float64)
+        tcw = frame.Tcw[:3, 3].astype(np.float64)
+        pc = pos @ Rcw.T + tcw
+        z = pc[:, 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        proj_ok = (z > 0) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+
+        P = 1 << int(np.ceil(np.log2(max(len(cand), 256))))
+        def padto(a, fill=0):
+            out = np.full((P,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        kp_free = frame.valid & (frame.point_ids < 0)
+        pfk, dists = matchers.search_by_projection_frame(
+            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
+            jnp.asarray(frame.desc), jnp.asarray(kp_free), jnp.asarray(frame.angle),
+            jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
+            jnp.asarray(padto(np.array(oct_rows, np.int32))),
+            jnp.asarray(padto(np.stack(desc_rows).astype(np.uint32))),
+            jnp.asarray(padto(proj_ok)),
+            jnp.asarray(padto(kff.angle[: len(cand)] * 0.0)),  # rotation check off
+            self.frontend.scale_factors, th,
+            jnp.asarray(False), jnp.asarray(False),
+            check_rotation=False,
+        )
+        pfk = np.asarray(pfk)
+        d = np.asarray(dists)
+        for i in np.nonzero(pfk >= 0)[0]:
+            if frame.point_ids[i] < 0 and pfk[i] < len(cand) and d[i] <= orb_dist:
+                frame.point_ids[i] = cand[int(pfk[i])]
+        return self._optimize(frame)

@@ -1,0 +1,176 @@
+"""Bag-of-binary-words vocabulary as dense arrays.
+
+TPU-native replacement for DBoW2's TemplatedVocabulary (reference
+Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h): the k^L tree of 256-bit
+descriptors becomes three arrays —
+
+    children_desc [n_internal, k, 8] uint32 — child descriptors per node
+    children_idx  [n_internal, k] int32 — child node ids (-1 pad)
+    word_id       [n_nodes] int32 — leaf word index (-1 for internal)
+    word_weight   [n_words] float32 — idf weights
+
+transform() descends the tree for all N descriptors of a frame in one
+vmapped program (L gather+popcount-argmin steps) and returns the word id
+per descriptor plus a normalized sparse tf-idf BoW vector. Scoring is the
+L1 metric DBoW2 selects for ORB (ScoringObject.cpp L1Scoring):
+s(v, w) = 1 - 0.5*|v - w|_1 on L1-normalized vectors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    children_desc: jax.Array  # [n_internal, k, 8] uint32
+    children_idx: jax.Array  # [n_internal, k] int32 (-1 = missing child)
+    node_word: jax.Array  # [n_nodes] int32, word id for leaves else -1
+    word_weight: jax.Array  # [n_words] float32 (idf)
+    k: int
+    depth: int
+
+    @property
+    def n_words(self) -> int:
+        return self.word_weight.shape[0]
+
+
+def transform_words(voc: Vocabulary, desc: jax.Array, valid: jax.Array):
+    """desc [N,8] uint32 -> word ids [N] int32 (-1 for invalid slots)."""
+
+    def descend(d):
+        def step(node, _):
+            cd = voc.children_desc[node]  # [k,8]
+            ci = voc.children_idx[node]  # [k]
+            dist = jnp.sum(
+                jax.lax.population_count(jnp.bitwise_xor(cd, d[None, :])), axis=-1
+            )
+            dist = jnp.where(ci >= 0, dist, 1 << 30)
+            # ragged trees: a node that is already a leaf has no children —
+            # stay put for the remaining scan steps.
+            nxt = jnp.where(jnp.all(ci < 0), node, ci[jnp.argmin(dist)])
+            return nxt, None
+
+        node, _ = jax.lax.scan(step, jnp.int32(0), None, length=voc.depth)
+        return voc.node_word[node]
+
+    words = jax.vmap(descend)(desc)
+    return jnp.where(valid, words, -1)
+
+
+def bow_vector(voc: Vocabulary, words: jax.Array) -> jax.Array:
+    """Dense L1-normalized tf-idf vector [n_words]. Fine for vocabularies up
+    to ~64k words (tests use ~1k; EuRoC-scale 1M-word vocab uses the sparse
+    scoring path in database.py)."""
+    w = voc.word_weight
+    v = jnp.zeros(voc.n_words, jnp.float32).at[
+        jnp.where(words >= 0, words, voc.n_words)
+    ].add(jnp.where(words >= 0, w[jnp.clip(words, 0, voc.n_words - 1)], 0.0),
+          mode="drop")
+    n = jnp.sum(jnp.abs(v))
+    return v / jnp.where(n > 0, n, 1.0)
+
+
+def l1_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 L1 score on normalized vectors (ScoringObject.cpp:27-60)."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2))
+
+
+def transform_jit(voc: Vocabulary, desc, valid):
+    words = transform_words(voc, desc, valid)
+    return words, bow_vector(voc, words)
+
+
+# ---------------------------------------------------------------------------
+# construction from a node table (used by both trainer and DBoW2 converter)
+# ---------------------------------------------------------------------------
+
+
+def build_from_nodes(
+    parents: np.ndarray,  # [n_nodes] int32 (-1 for root, node 0)
+    descriptors: np.ndarray,  # [n_nodes, 32] uint8 (root row ignored)
+    weights: np.ndarray,  # [n_nodes] float32 (leaf weights; internal 0)
+    is_leaf: np.ndarray,  # [n_nodes] bool
+    k: int,
+    depth: int,
+) -> Vocabulary:
+    n_nodes = len(parents)
+    desc_u32 = np.ascontiguousarray(descriptors).view(np.uint32).reshape(n_nodes, 8)
+    node_word = np.full(n_nodes, -1, np.int32)
+    leaf_ids = np.nonzero(is_leaf)[0]
+    node_word[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
+    word_weight = weights[leaf_ids].astype(np.float32)
+
+    children_idx = np.full((n_nodes, k), -1, np.int32)
+    children_desc = np.zeros((n_nodes, k, 8), np.uint32)
+    slot = np.zeros(n_nodes, np.int32)
+    for node in range(1, n_nodes):
+        p = parents[node]
+        s = slot[p]
+        if s < k:
+            children_idx[p, s] = node
+            children_desc[p, s] = desc_u32[node]
+            slot[p] = s + 1
+    return Vocabulary(
+        children_desc=jnp.asarray(children_desc),
+        children_idx=jnp.asarray(children_idx),
+        node_word=jnp.asarray(node_word),
+        word_weight=jnp.asarray(word_weight),
+        k=k,
+        depth=depth,
+    )
+
+
+def load_dbow2_text(path: str) -> Vocabulary:
+    """Load a DBoW2 text vocabulary (the ORBvoc.txt format the reference
+    expects at System.cpp:38-39; writer TemplatedVocabulary.h:1382-1416):
+    header `k L scoring weighting`, then per node:
+    `parent_id is_leaf d0..d31 weight`."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, descs, weights, leaves = [-1], [np.zeros(32, np.uint8)], [0.0], [False]
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaves.append(bool(int(parts[1])))
+            descs.append(np.array([int(x) for x in parts[2:34]], np.uint8))
+            weights.append(float(parts[34]))
+    return build_from_nodes(
+        np.array(parents, np.int32),
+        np.stack(descs),
+        np.array(weights, np.float32),
+        np.array(leaves, bool),
+        k,
+        L,
+    )
+
+
+def save_npz(voc: Vocabulary, path: str):
+    np.savez_compressed(
+        path,
+        children_desc=np.asarray(voc.children_desc),
+        children_idx=np.asarray(voc.children_idx),
+        node_word=np.asarray(voc.node_word),
+        word_weight=np.asarray(voc.word_weight),
+        k=voc.k,
+        depth=voc.depth,
+    )
+
+
+def load_npz(path: str) -> Vocabulary:
+    z = np.load(path)
+    return Vocabulary(
+        children_desc=jnp.asarray(z["children_desc"]),
+        children_idx=jnp.asarray(z["children_idx"]),
+        node_word=jnp.asarray(z["node_word"]),
+        word_weight=jnp.asarray(z["word_weight"]),
+        k=int(z["k"]),
+        depth=int(z["depth"]),
+    )

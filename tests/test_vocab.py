@@ -1,0 +1,114 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_tpu.vocab import bow, train
+from orbslam2_tpu.vocab.database import KeyFrameDatabase
+
+
+@pytest.fixture(scope="module")
+def tiny_vocab(request):
+    rng = np.random.default_rng(1)
+    descs = rng.integers(0, 256, (3000, 32), dtype=np.uint8)
+    doc_ids = np.repeat(np.arange(30), 100)
+    return train.train_vocabulary(descs, k=6, depth=3, doc_ids=doc_ids), descs
+
+
+class TestVocabulary:
+    def test_transform_deterministic(self, tiny_vocab):
+        voc, descs = tiny_vocab
+        d = jnp.asarray(np.ascontiguousarray(descs[:100]).view(np.uint32).reshape(-1, 8))
+        valid = jnp.ones(100, bool)
+        w1, v1 = bow.transform_jit(voc, d, valid)
+        w2, v2 = bow.transform_jit(voc, d, valid)
+        assert np.array_equal(np.asarray(w1), np.asarray(w2))
+        assert np.asarray(w1).max() < voc.n_words
+        assert np.asarray(w1).min() >= 0
+
+    def test_same_descriptor_same_word(self, tiny_vocab):
+        voc, descs = tiny_vocab
+        d = np.ascontiguousarray(descs[:1]).view(np.uint32).reshape(1, 8)
+        dd = jnp.asarray(np.repeat(d, 5, axis=0))
+        w, _ = bow.transform_jit(voc, dd, jnp.ones(5, bool))
+        assert len(np.unique(np.asarray(w))) == 1
+
+    def test_self_similarity_is_one(self, tiny_vocab):
+        voc, descs = tiny_vocab
+        d = jnp.asarray(np.ascontiguousarray(descs[:200]).view(np.uint32).reshape(-1, 8))
+        _, v = bow.transform_jit(voc, d, jnp.ones(200, bool))
+        s = bow.l1_score(v, v)
+        assert abs(float(s) - 1.0) < 1e-5
+
+    def test_similar_images_score_higher(self, tiny_vocab):
+        voc, descs = tiny_vocab
+        rng = np.random.default_rng(2)
+        base = descs[:300]
+        # "same place": flip a couple of bits in half the descriptors
+        near = base.copy()
+        noise = rng.integers(0, 256, near[:150].shape, dtype=np.uint8)
+        near[:150] ^= noise & rng.integers(0, 2, near[:150].shape, dtype=np.uint8)
+        far = descs[1000:1300]
+
+        def vec(d):
+            dj = jnp.asarray(np.ascontiguousarray(d).view(np.uint32).reshape(-1, 8))
+            return bow.transform_jit(voc, dj, jnp.ones(len(d), bool))[1]
+
+        v0, vn, vf = vec(base), vec(near), vec(far)
+        assert float(bow.l1_score(v0, vn)) > float(bow.l1_score(v0, vf))
+
+    def test_npz_roundtrip(self, tiny_vocab, tmp_path):
+        voc, descs = tiny_vocab
+        p = str(tmp_path / "voc.npz")
+        bow.save_npz(voc, p)
+        voc2 = bow.load_npz(p)
+        d = jnp.asarray(np.ascontiguousarray(descs[:50]).view(np.uint32).reshape(-1, 8))
+        w1, _ = bow.transform_jit(voc, d, jnp.ones(50, bool))
+        w2, _ = bow.transform_jit(voc2, d, jnp.ones(50, bool))
+        assert np.array_equal(np.asarray(w1), np.asarray(w2))
+
+    def test_dbow2_text_roundtrip(self, tiny_vocab, tmp_path):
+        """Write a tiny DBoW2-format text file and load it back."""
+        voc, _ = tiny_vocab
+        # synthesize a 2-level k=2 vocabulary text file by hand
+        p = str(tmp_path / "voc.txt")
+        rng = np.random.default_rng(3)
+        lines = ["2 2 0 0"]
+        descs = {}
+        # nodes: 1,2 children of root(0); 3,4 children of 1; 5,6 children of 2
+        for nid, parent, leaf in [(1, 0, 0), (2, 0, 0), (3, 1, 1), (4, 1, 1), (5, 2, 1), (6, 2, 1)]:
+            d = rng.integers(0, 256, 32)
+            descs[nid] = d
+            lines.append(
+                f"{parent} {leaf} " + " ".join(str(x) for x in d) + " 0.5"
+            )
+        open(p, "w").write("\n".join(lines))
+        v = bow.load_dbow2_text(p)
+        assert v.k == 2 and v.depth == 2 and v.n_words == 4
+
+
+class TestKeyFrameDatabase:
+    def test_reloc_candidates_rank_true_match(self, tiny_vocab):
+        from orbslam2_tpu.slam.map import SlamMap
+
+        voc, descs = tiny_vocab
+        m = SlamMap(n_kp=100)
+        db = KeyFrameDatabase(voc.n_words)
+
+        def wv(d):
+            dj = jnp.asarray(np.ascontiguousarray(d).view(np.uint32).reshape(-1, 8))
+            w, v = bow.transform_jit(voc, dj, jnp.ones(len(d), bool))
+            return np.asarray(w), np.asarray(v)
+
+        # 5 "keyframes" with distinct descriptor sets
+        for kf in range(5):
+            m.kf_pose[kf] = np.eye(4, dtype=np.float32)
+            m.kf_valid.add(kf)
+            m.covis[kf] = {}
+            w, v = wv(descs[kf * 300 : kf * 300 + 250])
+            db.add(kf, w, v)
+
+        # query resembling keyframe 2
+        q = descs[600:850].copy()
+        w, v = wv(q)
+        cands = db.detect_relocalization_candidates(w, v, m)
+        assert 2 in cands
