@@ -21,6 +21,12 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     ap.add_argument("--local-mapping", action="store_true")
+    ap.add_argument(
+        "--loop", action="store_true",
+        help="circuit world with full pipeline (mapping + loop closing)",
+    )
+    ap.add_argument("--viewer-out", type=str, default=None,
+                    help="directory for map snapshot PNGs")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
 
@@ -39,7 +45,13 @@ def main():
     from orbslam2_tpu.slam.map import SlamMap
     from orbslam2_tpu.slam.tracking import Tracker
 
-    world = SyntheticWorld(n_points=900, seed=args.seed, baseline=0.2)
+    if args.loop:
+        world = SyntheticWorld(
+            n_points=2000, seed=args.seed, baseline=0.2, vertical_extent=6.0,
+            cylinder_radius=11.0,
+        )
+    else:
+        world = SyntheticWorld(n_points=900, seed=args.seed, baseline=0.2)
     cfg = SlamConfig(
         camera=CameraConfig(
             fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
@@ -50,13 +62,39 @@ def main():
     frontend = Frontend(cfg)
     slam_map = SlamMap(cfg.orb.n_features)
     tracker = Tracker(cfg, frontend, slam_map)
-    if args.local_mapping:
+    closer = None
+    if args.local_mapping or args.loop:
         from orbslam2_tpu.slam.local_mapping import LocalMapper
 
         tracker.local_mapper = LocalMapper(cfg, frontend, slam_map)
+    if args.loop:
+        from orbslam2_tpu.slam.loop_closing import LoopCloser
+        from orbslam2_tpu.slam.relocalization import Relocalizer
+        from orbslam2_tpu.vocab import train
+
+        descs, docs = [], []
+        for d, T in enumerate(world.trajectory_circuit(8)):
+            imL, _ = world.render_stereo(T)
+            f = frontend.process(imL, imL)
+            v = np.asarray(f.valid)
+            dd = np.asarray(f.desc)[v][:400]
+            descs.append(np.ascontiguousarray(dd).view(np.uint8))
+            docs.append(np.full(len(dd), d))
+        voc = train.train_vocabulary(
+            np.concatenate(descs), k=8, depth=3, doc_ids=np.concatenate(docs)
+        )
+        reloc = Relocalizer(cfg, frontend, slam_map, voc)
+        tracker.relocalizer = reloc
+        closer = LoopCloser(cfg, frontend, slam_map, reloc,
+                            local_mapper=tracker.local_mapper)
+        tracker.local_mapper.on_processed = closer.insert_keyframe
 
     print(f"devices: {jax.devices()}")
-    poses_gt, frames = world.render_sequence(args.frames, step=0.06)
+    if args.loop:
+        poses_gt = world.trajectory_circuit(args.frames)
+        frames = [world.render_stereo(T) for T in poses_gt]
+    else:
+        poses_gt, frames = world.render_sequence(args.frames, step=0.06)
 
     est, times = [], []
     for i, (imL, imR) in enumerate(frames):
@@ -77,11 +115,27 @@ def main():
     est_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for _, T in pairs])
     rmse = ate_rmse(est_xyz, gt_xyz)
     t = np.array(times[5:])
+    loops = f" | loops closed {closer.n_loops_closed}" if closer else ""
     print(
         f"\ntracked {len(pairs)}/{len(frames)} frames | "
-        f"ATE RMSE {rmse*100:.2f} cm over {np.linalg.norm(gt_xyz[-1]-gt_xyz[0]):.1f} m | "
+        f"ATE RMSE {rmse*100:.2f} cm | "
         f"keyframes {slam_map.n_keyframes()} points {len(slam_map.pt_valid)}"
+        f"{loops}"
     )
+    if args.viewer_out:
+        os.makedirs(args.viewer_out, exist_ok=True)
+
+        class _SysShim:
+            pass
+
+        shim = _SysShim()
+        shim.map = slam_map
+        shim.tracker = tracker
+        shim.config = cfg
+        from orbslam2_tpu.slam.viewer import Viewer
+
+        Viewer(shim).save(os.path.join(args.viewer_out, "map_final.png"))
+        print(f"map snapshot: {args.viewer_out}/map_final.png")
     print(f"per-frame: mean {t.mean()*1e3:.1f}ms median {np.median(t)*1e3:.1f}ms -> {1/t.mean():.1f} fps")
     return 0 if rmse < 0.10 else 1
 

@@ -35,23 +35,49 @@ class SyntheticWorld:
     depth_range: tuple = (4.0, 25.0)
     lateral_extent: float = 14.0
     vertical_extent: float = 8.0
-    sprite_world_size: float = 0.55  # meters; on-screen size = f*s/z
+    sprite_world_size: float = 0.9  # meters; on-screen size = f*s/z
+    cylinder_radius: float = 0.0  # >0: points on a cylinder wall (loop worlds)
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
         n = self.n_points
-        self.points = np.stack(
-            [
-                rng.uniform(-self.lateral_extent, self.lateral_extent, n),
-                rng.uniform(-self.vertical_extent, self.vertical_extent, n),
-                rng.uniform(self.depth_range[0], self.depth_range[1] + 20.0, n),
-            ],
-            axis=1,
-        ).astype(np.float64)
-        # per-sprite 4x4 binary texture and intensity
-        self.textures = rng.integers(0, 2, size=(n, 4, 4)).astype(np.float64)
-        self.tex_lo = rng.uniform(10, 80, n)
-        self.tex_hi = rng.uniform(170, 245, n)
+        xs = rng.uniform(-self.lateral_extent, self.lateral_extent, n)
+        ys = rng.uniform(-self.vertical_extent, self.vertical_extent, n)
+        # depth is a SMOOTH surface z(x, y): neighboring sprites share depth,
+        # so their overlap does not shear under camera motion (a deep random
+        # cloud of billboards destroys descriptor stability in a way no real
+        # scene — which is locally continuous — does).
+        d0, d1 = self.depth_range
+        mid, amp = 0.5 * (d0 + d1), 0.5 * (d1 - d0)
+        ph = rng.uniform(0, 2 * np.pi, 4)
+        if self.cylinder_radius > 0:
+            # loop world: sprites on a smooth-radius cylinder wall around
+            # the origin (camera circuits inside, looking along the tangent)
+            theta = rng.uniform(0, 2 * np.pi, n)
+            rr = self.cylinder_radius * (
+                1.0
+                + 0.10 * np.sin(3 * theta + ph[0]) * np.cos(0.4 * ys + ph[1])
+                + 0.06 * np.sin(7 * theta + ph[2])
+            )
+            self.points = np.stack(
+                [rr * np.sin(theta), ys, rr * np.cos(theta)], axis=1
+            ).astype(np.float64)
+        else:
+            zs = mid + amp * (
+                0.6 * np.sin(0.35 * xs + ph[0]) * np.cos(0.45 * ys + ph[1])
+                + 0.4 * np.sin(0.15 * xs + 0.25 * ys + ph[2])
+            )
+            self.points = np.stack([xs, ys, zs], axis=1).astype(np.float64)
+        # per-sprite texture: continuous random blocks + an asymmetric
+        # gradient so the intensity centroid (ORB angle) is well defined
+        blocks = rng.uniform(0.0, 1.0, size=(n, 6, 6))
+        gdir = rng.uniform(0, 2 * np.pi, n)
+        gx, gy = np.cos(gdir), np.sin(gdir)
+        yy, xx = np.mgrid[0:6, 0:6] / 5.0 - 0.5
+        grad = gx[:, None, None] * xx + gy[:, None, None] * yy  # [-.7,.7]
+        self.textures = np.clip(0.6 * blocks + 0.55 + 0.6 * grad, 0.0, 1.0)
+        self.tex_lo = rng.uniform(10, 60, n)
+        self.tex_hi = rng.uniform(180, 245, n)
         # smooth background: upsampled coarse noise
         coarse = rng.uniform(90, 150, (self.height // 40 + 2, self.width // 40 + 2))
         ys = np.linspace(0, coarse.shape[0] - 1.001, self.height)
@@ -97,6 +123,39 @@ class SyntheticWorld:
             poses.append(T.astype(np.float32))
         return poses
 
+    def trajectory_out_and_back(self, n_frames: int, length: float = 20.0):
+        """Lateral sweep along the point wall and back to the start — the
+        start view leaves covisibility mid-run and is revisited at the end,
+        which is the geometry loop closure needs."""
+        poses = []
+        for i in range(n_frames):
+            phase = i / (n_frames - 1)
+            x = length * 0.5 * (1.0 - np.cos(2 * np.pi * phase))
+            c = np.array([x, 0.1 * np.sin(0.2 * i), 0.0])
+            T = np.eye(4)
+            T[:3, 3] = -c
+            poses.append(T.astype(np.float32))
+        return poses
+
+    def trajectory_circuit(self, n_frames: int, radius: float = 4.0):
+        """Full circle inside the cylinder world, camera looking along the
+        tangent — start region leaves view and is revisited only at the end
+        through a different map region: a genuine loop closure."""
+        poses = []
+        for i in range(n_frames):
+            phi = 2 * np.pi * i / (n_frames - 1)
+            c = np.array([radius * np.sin(phi), 0.05 * np.sin(0.3 * i),
+                          radius * np.cos(phi)])
+            z_cam = np.array([np.cos(phi), 0.0, -np.sin(phi)])  # tangent
+            y_cam = np.array([0.0, 1.0, 0.0])
+            x_cam = np.cross(y_cam, z_cam)
+            Rwc = np.stack([x_cam, y_cam, z_cam], axis=1)
+            T = np.eye(4)
+            T[:3, :3] = Rwc.T
+            T[:3, 3] = -Rwc.T @ c
+            poses.append(T.astype(np.float32))
+        return poses
+
     def render_stereo(self, Tcw: np.ndarray, return_id_map: bool = False):
         """Render (imL, imR) float32 [H,W] in 0..255 for camera pose Tcw.
 
@@ -125,7 +184,7 @@ class SyntheticWorld:
             half = size // 2
             tex = np.kron(
                 self.textures[i],
-                np.ones((max(size // 4, 1), max(size // 4, 1))),
+                np.ones((max(size // 6, 1), max(size // 6, 1))),
             )
             tex = tex[:size, :size]
             sprite = self.tex_lo[i] + tex * (self.tex_hi[i] - self.tex_lo[i])
@@ -149,6 +208,11 @@ class SyntheticWorld:
                 ]
                 if img is imL:
                     id_map[rr0:rr1, cc0:cc1] = i
+        # camera PSF: real optics low-pass the scene, which is what keeps
+        # BRIEF/IC-angle stable under sub-pixel motion. Without this, the
+        # razor-sharp synthetic edges flip descriptor bits frame to frame.
+        imL = ndimage.gaussian_filter(imL, 0.8)
+        imR = ndimage.gaussian_filter(imR, 0.8)
         if return_id_map:
             return imL.astype(np.float32), imR.astype(np.float32), id_map
         return imL.astype(np.float32), imR.astype(np.float32)

@@ -277,10 +277,21 @@ def _select_level_keypoints(
     )
     packed = jnp.where(s > 0.0, (score_q << pos_bits) | flat_pos[None], -1)
     pp = jnp.pad(packed, [(0, 0), (0, ph), (0, pw)], constant_values=-1)
-    cell_best = jnp.max(pp.reshape(B, gy, c, gx, c), axis=(2, 4)).reshape(B, gy * gx)
+    blocks = pp.reshape(B, gy, c, gx, c)
+    best1 = jnp.max(blocks, axis=(2, 4))  # [B,gy,gx]
+    # second-best per cell: mask the winner (by its packed position) and
+    # re-reduce. Keeping 2 candidates per cell + a global response top-k
+    # makes the selection far more stable under image translation than the
+    # reference's one-per-quad-tree-node rule (less frame-to-frame churn).
+    up1 = jnp.repeat(jnp.repeat(best1, c, axis=-2), c, axis=-1)
+    pp2 = jnp.where(pp == up1, -1, pp)
+    best2 = jnp.max(pp2.reshape(B, gy, c, gx, c), axis=(2, 4))
+    cand = jnp.concatenate(
+        [best1.reshape(B, gy * gx), best2.reshape(B, gy * gx)], axis=-1
+    )
 
-    k = min(n_target, gy * gx)
-    top_p, _ = jax.lax.top_k(cell_best, k)  # [B,k] packed
+    k = min(n_target, 2 * gy * gx)
+    top_p, _ = jax.lax.top_k(cand, k)  # [B,k] packed
     valid = top_p >= 0
     pos = jnp.where(valid, top_p & ((1 << pos_bits) - 1), 0)
     ys = pos // w

@@ -36,6 +36,7 @@ class LocalMapper:
         self._abort_ba = False
         self._queue: List[int] = []
         self.n_processed = 0
+        self.on_processed = None  # downstream stage hook (loop closing)
 
         sf = frontend.scale_factors
         sig2 = jnp.asarray(frontend.level_sigma2, jnp.float32)
@@ -98,6 +99,8 @@ class LocalMapper:
             self._local_ba(kf)
             self._cull_keyframes(kf)
         self.n_processed += 1
+        if self.on_processed is not None:
+            self.on_processed(kf)
 
     # -------------------------------------------------------------------
 

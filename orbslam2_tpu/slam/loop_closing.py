@@ -1,0 +1,626 @@
+"""Loop closing: detection, Sim3 computation, loop correction, global BA.
+
+Re-implements the reference LoopClosing thread (src/LoopClosing.cpp) as a
+host-sequenced stage over the TPU kernels:
+
+  * DetectLoop (:90-216): database query gated by the worst covisible BoW
+    score + 3-consecutive-keyframe group consistency;
+  * ComputeSim3 (:218-385): BoW matching -> batched Horn Sim3 RANSAC ->
+    guided Sim3 matching -> Sim3 LM -> loop-point projection check;
+  * CorrectLoop (:387-605): Sim3 propagation through the covisible group,
+    loop-point fusion, new-link discovery, essential-graph optimization
+    (sharded GN over Sim3 edges) and global BA with staged write-back.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import sim3 as sim3_mod
+from ..ops import ba, hamming, matchers, sim3solve
+from .frontend import Frontend
+from .map import SlamMap
+from .relocalization import Relocalizer
+
+COVIS_CONSISTENCY_TH = 3  # reference mnCovisibilityConsistencyTh (LoopClosing.cpp:24)
+MIN_LOOP_GAP = 10  # don't look for loops right after the last one (:97-103)
+
+
+def _np_sim3(S: sim3_mod.Sim3):
+    return np.asarray(S.R), np.asarray(S.t), float(np.asarray(S.s))
+
+
+class LoopCloser:
+    def __init__(
+        self,
+        config: SlamConfig,
+        frontend: Frontend,
+        slam_map: SlamMap,
+        relocalizer: Relocalizer,
+        local_mapper=None,
+        fix_scale: bool = True,
+    ):
+        self.config = config
+        self.frontend = frontend
+        self.map = slam_map
+        self.reloc = relocalizer  # owns vocabulary + database
+        self.local_mapper = local_mapper
+        self.fix_scale = fix_scale
+        self.consistent_groups: List[Tuple[Set[int], int]] = []
+        self.last_loop_kf = -MIN_LOOP_GAP
+        self.n_loops_closed = 0
+        self._key = jax.random.PRNGKey(7)
+
+        self._jit_ransac = jax.jit(
+            sim3solve.sim3_ransac, static_argnames=("fix_scale", "n_hyp")
+        )
+        self._jit_gba = ba.ba_solve_jit
+
+        # state produced by _detect/_compute for _correct
+        self._candidates: List[int] = []
+        self._matched_kf: Optional[int] = None
+        self._Scw: Optional[sim3_mod.Sim3] = None  # corrected Sim3 world->cur
+        self._loop_points: List[int] = []
+        self._matched_points: Dict[int, int] = {}  # cur feature idx -> loop pid
+
+    # ------------------------------------------------------------------
+
+    def insert_keyframe(self, kf: int) -> bool:
+        """Process one keyframe; returns True if a loop was closed."""
+        closed = False
+        if (
+            self.map.n_keyframes() > MIN_LOOP_GAP
+            and kf >= self.last_loop_kf + MIN_LOOP_GAP
+        ):
+            if self._detect_loop(kf) and self._compute_sim3(kf):
+                self._correct_loop(kf)
+                closed = True
+        # the reference adds the KF to the database at the end of DetectLoop
+        if kf not in self.reloc.database.kf_words:
+            self.reloc.add_keyframe(kf)
+        return closed
+
+    # ------------------------------------------------------------------
+
+    def _detect_loop(self, kf: int) -> bool:
+        db = self.reloc.database
+        if kf not in db.kf_words:
+            self.reloc.add_keyframe(kf)
+        bow = db.kf_bow[kf]
+        min_score = 1.0
+        for nb in self.map.covisible_keyframes(kf):
+            if nb in db.kf_bow:
+                s = db._l1_score(bow, db.kf_bow[nb])
+                min_score = min(min_score, s)
+        candidates = db.detect_loop_candidates(kf, min_score, self.map)
+        if not candidates:
+            self.consistent_groups = []
+            return False
+
+        # 3-consecutive-keyframe group consistency (LoopClosing.cpp:139-198)
+        enough: List[int] = []
+        new_groups: List[Tuple[Set[int], int]] = []
+        for cand in candidates:
+            group = set(self.map.covisible_keyframes(cand))
+            group.add(cand)
+            consistent_for_some = False
+            for prev_group, prev_count in self.consistent_groups:
+                if group & prev_group:
+                    consistent_for_some = True
+                    count = prev_count + 1
+                    new_groups.append((group, count))
+                    if count >= COVIS_CONSISTENCY_TH and cand not in enough:
+                        enough.append(cand)
+                    break
+            if not consistent_for_some:
+                new_groups.append((group, 0))
+        self.consistent_groups = new_groups
+        self._candidates = enough
+        return bool(enough)
+
+    # ------------------------------------------------------------------
+
+    def _bow_match_points(self, kf1: int, kf2: int) -> Dict[int, int]:
+        """SearchByBoW(KF, KF) equivalent: feature idx in kf1 -> pid of kf2."""
+        f1 = self.map.kf_frame[kf1]
+        f2 = self.map.kf_frame[kf2]
+        p1 = self.map.kf_point[kf1]
+        p2 = self.map.kf_point[kf2]
+        has1 = (p1 >= 0) & f1.valid
+        has2 = (p2 >= 0) & f2.valid
+        d = hamming.hamming_matrix(jnp.asarray(f1.desc), jnp.asarray(f2.desc))
+        mask = jnp.asarray(has1)[:, None] & jnp.asarray(has2)[None, :]
+        idx, best, second = hamming.masked_two_smallest(d, mask)
+        idx, best, second = np.asarray(idx), np.asarray(best), np.asarray(second)
+        ok = (best < hamming.TH_LOW) & (best < 0.75 * second)
+        keep = np.asarray(
+            matchers.rotation_consistency_mask(
+                jnp.asarray(f1.angle), jnp.asarray(f2.angle[idx]), jnp.asarray(ok)
+            )
+        )
+        out = {}
+        used = set()
+        for i in np.argsort(best):
+            if keep[i] and idx[i] not in used:
+                pid = int(p2[idx[i]])
+                if pid in self.map.pt_valid:
+                    out[int(i)] = pid
+                    used.add(idx[i])
+        return out
+
+    def _compute_sim3(self, kf: int) -> bool:
+        cam = self.config.camera
+        sigma2 = self.frontend.level_sigma2
+        f1 = self.map.kf_frame[kf]
+        T1 = self.map.kf_pose[kf].astype(np.float64)
+        p1 = self.map.kf_point[kf]
+
+        for cand in self._candidates:
+            if cand not in self.map.kf_valid:
+                continue
+            matches = self._bow_match_points(kf, cand)
+            if len(matches) < 20:
+                continue
+            idxs = sorted(matches)
+            N = len(idxs)
+            X1 = np.zeros((N, 3), np.float32)
+            X2 = np.zeros((N, 3), np.float32)
+            uv1 = np.zeros((N, 2), np.float32)
+            uv2 = np.zeros((N, 2), np.float32)
+            me1 = np.zeros(N, np.float32)
+            me2 = np.zeros(N, np.float32)
+            T2 = self.map.kf_pose[cand].astype(np.float64)
+            f2 = self.map.kf_frame[cand]
+            obs2 = self.map.kf_point[cand]
+            ok_rows = []
+            for r, i in enumerate(idxs):
+                pid1 = int(p1[i])
+                pid2 = matches[i]
+                if pid1 not in self.map.pt_valid:
+                    continue
+                w1 = self.map.pt_pos[pid1]
+                w2 = self.map.pt_pos[pid2]
+                X1[r] = T1[:3, :3] @ w1 + T1[:3, 3]
+                X2[r] = T2[:3, :3] @ w2 + T2[:3, 3]
+                uv1[r] = f1.uv[i]
+                i2 = self.map.pt_obs[pid2].get(cand)
+                if i2 is None:
+                    continue
+                uv2[r] = f2.uv[i2]
+                me1[r] = 9.21 * sigma2[f1.octave[i]]
+                me2[r] = 9.21 * sigma2[f2.octave[i2]]
+                ok_rows.append(r)
+            valid = np.zeros(N, bool)
+            valid[ok_rows] = True
+            if valid.sum() < 20:
+                continue
+
+            self._key, sub = jax.random.split(self._key)
+            res = self._jit_ransac(
+                sub, jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1),
+                jnp.asarray(uv2), jnp.asarray(me1), jnp.asarray(me2),
+                jnp.asarray(valid), self.frontend.camera,
+                fix_scale=self.fix_scale,
+            )
+            if int(res.n_inliers) < 20:
+                continue
+
+            S12, inl, n_inl = sim3solve.optimize_sim3(
+                res.S12, jnp.asarray(X1), jnp.asarray(X2),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(1.0 / sigma2[f1.octave[[int(i) for i in idxs]]], jnp.float32),
+                jnp.ones(N, jnp.float32),
+                jnp.asarray(valid & np.asarray(res.inliers)),
+                self.frontend.camera,
+                fix_scale=self.fix_scale,
+            )
+            if int(n_inl) < 20:
+                continue
+
+            # Scw = S1,2 ∘ S2,w  (corrected world->current)
+            R2 = jnp.asarray(T2[:3, :3].astype(np.float32))
+            t2 = jnp.asarray(T2[:3, 3].astype(np.float32))
+            S2w = sim3_mod.Sim3(R=R2, t=t2, s=jnp.asarray(1.0, jnp.float32))
+            Scw = sim3_mod.compose(S12, S2w)
+
+            # gather loop-region points and verify by projection (>=40)
+            loop_pts: List[int] = []
+            seen = set()
+            for k in [cand] + self.map.covisible_keyframes(cand):
+                if k not in self.map.kf_valid:
+                    continue
+                for pid in self.map.kf_point[k]:
+                    if pid >= 0 and pid in self.map.pt_valid and pid not in seen:
+                        seen.add(pid)
+                        loop_pts.append(int(pid))
+            matched = self._search_by_sim3_projection(kf, Scw, loop_pts, th=10.0)
+            total = len(matched)
+            for i, pid in matches.items():
+                if i not in matched:
+                    total += 1
+            if total >= 40:
+                self._matched_kf = cand
+                self._Scw = Scw
+                self._loop_points = loop_pts
+                self._matched_points = dict(matched)
+                for i, pid in matches.items():
+                    self._matched_points.setdefault(i, pid)
+                return True
+        return False
+
+    def _search_by_sim3_projection(
+        self, kf: int, Scw: sim3_mod.Sim3, pids: List[int], th: float
+    ) -> Dict[int, int]:
+        """Reference SearchByProjection(KF, Scw, points, ...) — project loop
+        points into the keyframe under the Sim3 and match (ORBmatcher.cpp:
+        241-352). Returns feature idx -> pid."""
+        if not pids:
+            return {}
+        f = self.map.kf_frame[kf]
+        c = self.config.camera
+        R, t, s = _np_sim3(Scw)
+        pos, desc, normal, dmin, dmax = self.map.points_array(pids)
+        pc = (pos.astype(np.float64) @ R.T) * s + t
+        z = pc[:, 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        u = c.fx * pc[:, 0] / zs + c.cx
+        v = c.fy * pc[:, 1] / zs + c.cy
+        Ow = -(R.T @ t) / s
+        po = pos.astype(np.float64) - Ow
+        dist = np.linalg.norm(po, axis=1)
+        viewcos = np.einsum("ij,ij->i", po, normal) / np.maximum(dist, 1e-9)
+        visible = (
+            (z > 0)
+            & (u >= 0) & (u < c.width) & (v >= 0) & (v < c.height)
+            & (dist >= dmin) & (dist <= dmax)
+            & (viewcos > 0.5)
+        )
+        if not visible.any():
+            return {}
+        ratio = dmax / np.maximum(dist, 1e-9)
+        level = np.clip(
+            np.ceil(np.log(np.maximum(ratio, 1e-9)) / self.map.log_scale),
+            0, self.map.n_levels - 1,
+        ).astype(np.int32)
+
+        P = 1 << int(np.ceil(np.log2(max(len(pids), 256))))
+        def padto(a, fill=0):
+            out = np.full((P,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        ur_dummy = np.full(P, -1.0, np.float32)
+        best_idx, best_dist = matchers.fuse_match(
+            jnp.asarray(f.uv), jnp.asarray(f.octave),
+            jnp.asarray(np.full(len(f.valid), -1.0, np.float32)),  # no stereo gate
+            jnp.asarray(f.desc), jnp.asarray(f.valid),
+            jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
+            jnp.asarray(ur_dummy),
+            jnp.asarray(padto(level)),
+            jnp.asarray(padto(desc)),
+            jnp.asarray(padto(visible)),
+            self.frontend.scale_factors, self.frontend.inv_level_sigma2,
+            th=th,
+        )
+        best_idx = np.asarray(best_idx)
+        out: Dict[int, int] = {}
+        for j in range(len(pids)):
+            fi = int(best_idx[j])
+            if fi >= 0 and fi not in out:
+                out[fi] = pids[j]
+        return out
+
+    # ------------------------------------------------------------------
+
+    def _correct_loop(self, kf: int):
+        """Reference LoopClosing::CorrectLoop (LoopClosing.cpp:387-605)."""
+        m = self.map
+        if self.local_mapper is not None:
+            self.local_mapper.request_stop()
+
+        current_group = [kf] + m.covisible_keyframes(kf)
+        R, t, s = _np_sim3(self._Scw)
+
+        corrected: Dict[int, Tuple[np.ndarray, np.ndarray, float]] = {}
+        non_corrected: Dict[int, np.ndarray] = {}
+        Tkw = m.kf_pose[kf].astype(np.float64)
+        for ki in current_group:
+            Tiw = m.kf_pose[ki].astype(np.float64)
+            non_corrected[ki] = Tiw.copy()
+            if ki == kf:
+                corrected[ki] = (R, t, s)
+            else:
+                Tic = Tiw @ np.linalg.inv(Tkw)
+                Ric, tic = Tic[:3, :3], Tic[:3, 3]
+                # Siw_corr = Sic ∘ Scw  (s_ic = 1)
+                corrected[ki] = (Ric @ R, Ric @ t + tic, s)
+
+        # correct map points of the group and keyframe poses
+        done_pts: Set[int] = set()
+        for ki in current_group:
+            Rc, tc, sc = corrected[ki]
+            Tiw_old = non_corrected[ki]
+            Riw_corr_inv = Rc.T
+            for pid in m.kf_point[ki]:
+                if pid < 0 or pid in done_pts or pid not in m.pt_valid:
+                    continue
+                done_pts.add(int(pid))
+                pw = m.pt_pos[int(pid)]
+                pc = Tiw_old[:3, :3] @ pw + Tiw_old[:3, 3]  # old cam coords
+                # corrected world: Siw_corr^-1 (pc)
+                pw_new = Riw_corr_inv @ ((pc - tc) / sc)
+                m.pt_pos[int(pid)] = pw_new
+            # pose = [R | t/s]
+            T_new = np.eye(4, dtype=np.float32)
+            T_new[:3, :3] = Rc
+            T_new[:3, 3] = (tc / sc).astype(np.float32)
+            m.kf_pose[ki] = T_new
+            m.update_connections(ki)
+
+        # attach matched loop points at the current keyframe
+        cur_pids = m.kf_point[kf]
+        for fi, loop_pid in self._matched_points.items():
+            loop_pid = m.resolve_replaced(loop_pid)
+            if loop_pid not in m.pt_valid:
+                continue
+            cur_pid = int(cur_pids[fi])
+            if cur_pid >= 0 and cur_pid in m.pt_valid and cur_pid != loop_pid:
+                m.replace_point(cur_pid, loop_pid)
+            elif cur_pid < 0:
+                m.add_observation(loop_pid, kf, fi)
+                m.compute_distinctive_descriptor(loop_pid)
+
+        # fuse loop points into every corrected keyframe (SearchAndFuse)
+        old_neighbors = {ki: set(m.covisible_keyframes(ki)) for ki in current_group}
+        for ki in current_group:
+            Rc, tc, sc = corrected[ki]
+            S = sim3_mod.Sim3(
+                R=jnp.asarray(Rc.astype(np.float32)),
+                t=jnp.asarray(tc.astype(np.float32)),
+                s=jnp.asarray(np.float32(sc)),
+            )
+            matched = self._search_by_sim3_projection(
+                ki, S, [p for p in self._loop_points if p in m.pt_valid], th=4.0
+            )
+            kf_pids = m.kf_point[ki]
+            for fi, pid in matched.items():
+                pid = m.resolve_replaced(pid)
+                if pid not in m.pt_valid or ki in m.pt_obs[pid]:
+                    continue
+                existing = int(kf_pids[fi])
+                if existing >= 0 and existing in m.pt_valid and existing != pid:
+                    m.replace_point(existing, pid)
+                else:
+                    m.add_observation(pid, ki, fi)
+            m.update_connections(ki)
+
+        # new links created by the fusion
+        loop_connections: Dict[int, Set[int]] = {}
+        for ki in current_group:
+            now = set(m.covisible_keyframes(ki))
+            fresh = now - old_neighbors[ki] - set(current_group)
+            if fresh:
+                loop_connections[ki] = fresh
+
+        self._optimize_essential_graph(
+            kf, corrected, non_corrected, loop_connections
+        )
+
+        # loop edge bookkeeping
+        m.loop_edges[kf].add(self._matched_kf)
+        m.loop_edges[self._matched_kf].add(kf)
+
+        self._global_ba(kf)
+
+        if self.local_mapper is not None:
+            self.local_mapper.release()
+        self.last_loop_kf = kf
+        self.n_loops_closed += 1
+
+    # ------------------------------------------------------------------
+
+    def _optimize_essential_graph(
+        self, cur_kf, corrected, non_corrected, loop_connections
+    ):
+        """Assemble the essential graph (reference Optimizer.cpp:790-1052)
+        and solve with the batched Sim3 GN."""
+        from ..ops import posegraph
+
+        m = self.map
+        kfs = sorted(m.kf_valid)
+        index = {k: i for i, k in enumerate(kfs)}
+        K = len(kfs)
+
+        Rv = np.zeros((K, 3, 3), np.float32)
+        tv = np.zeros((K, 3), np.float32)
+        sv = np.ones(K, np.float32)
+        for k, i in index.items():
+            if k in corrected:
+                Rc, tc, sc = corrected[k]
+                Rv[i], tv[i], sv[i] = Rc, tc, sc
+            else:
+                T = m.kf_pose[k]
+                Rv[i], tv[i] = T[:3, :3], T[:3, 3]
+
+        def siw_old(k):
+            if k in non_corrected:
+                T = non_corrected[k]
+            else:
+                T = m.kf_pose[k].astype(np.float64)
+            return T[:3, :3], T[:3, 3], 1.0
+
+        edges = []  # (i, j, Rji, tji, sji)
+        added = set()
+
+        def add_edge(ka, kb, use_old=True):
+            if ka not in index or kb not in index:
+                return
+            pair = (min(ka, kb), max(ka, kb))
+            if pair in added:
+                return
+            added.add(pair)
+            # measurement Sji = Sj ∘ Si^-1 from (pre-correction) poses
+            Ri, ti, si = siw_old(ka)
+            Rj, tj, sj = siw_old(kb)
+            Rji = Rj @ Ri.T
+            tji = tj - Rji @ ti
+            edges.append((index[ka], index[kb], Rji, tji, 1.0))
+
+        # loop connections (use corrected/current poses — these are the new
+        # constraints discovered by fusion; reference uses current estimates)
+        for ka, fresh in loop_connections.items():
+            for kb in fresh:
+                if ka not in index or kb not in index:
+                    continue
+                pair = (min(ka, kb), max(ka, kb))
+                if pair in added:
+                    continue
+                added.add(pair)
+                def siw_now(k, i):
+                    return Rv[i].astype(np.float64), tv[i].astype(np.float64)
+                Ri, ti = siw_now(ka, index[ka])
+                Rj, tj = siw_now(kb, index[kb])
+                Rji = Rj @ Ri.T
+                tji = tj - Rji @ ti
+                edges.append((index[ka], index[kb], Rji, tji, 1.0))
+
+        for k in kfs:
+            par = m.parent.get(k)
+            if par is not None and par in index:
+                add_edge(k, par)
+            for le in m.loop_edges.get(k, ()):
+                if le < k:
+                    add_edge(k, le)
+            for nb, w in m.covis.get(k, {}).items():
+                if w >= 100 and nb < k and nb not in m.children.get(k, set()):
+                    add_edge(k, nb)
+        # the fresh loop edge between current and matched KF
+        add_edge(cur_kf, self._matched_kf, use_old=False)
+
+        if not edges:
+            return
+        E = len(edges)
+        ei = np.array([e[0] for e in edges], np.int32)
+        ej = np.array([e[1] for e in edges], np.int32)
+        mR = np.stack([e[2] for e in edges]).astype(np.float32)
+        mt = np.stack([e[3] for e in edges]).astype(np.float32)
+        ms = np.array([e[4] for e in edges], np.float32)
+
+        prob = posegraph.PoseGraphProblem(
+            vertices=sim3_mod.Sim3(
+                R=jnp.asarray(Rv), t=jnp.asarray(tv), s=jnp.asarray(sv)
+            ),
+            edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej),
+            meas=sim3_mod.Sim3(R=jnp.asarray(mR), t=jnp.asarray(mt), s=jnp.asarray(ms)),
+            edge_valid=jnp.ones(E, bool),
+            fixed=jnp.asarray(
+                np.array([k == self._matched_kf for k in kfs])
+            ),
+        )
+        V_opt, _ = posegraph.optimize_essential_graph(
+            prob, fix_scale=self.fix_scale
+        )
+        R_opt = np.asarray(V_opt.R)
+        t_opt = np.asarray(V_opt.t)
+        s_opt = np.asarray(V_opt.s)
+
+        # correct points via their reference keyframe: p' = S_corr^-1(S_old p)
+        old_poses = {k: m.kf_pose[k].astype(np.float64).copy() for k in kfs}
+        if non_corrected:
+            for k in non_corrected:
+                if k in m.kf_valid:
+                    old_poses[k] = non_corrected[k].copy()
+        for pid in list(m.pt_valid):
+            ref = m.pt_ref_kf.get(pid)
+            if ref not in index:
+                continue
+            i = index[ref]
+            T_old = old_poses[ref]
+            pw = m.pt_pos[pid]
+            pc = T_old[:3, :3] @ pw + T_old[:3, 3]
+            Rn, tn, sn = R_opt[i].astype(np.float64), t_opt[i].astype(np.float64), float(s_opt[i])
+            m.pt_pos[pid] = Rn.T @ ((pc - tn) / sn)
+        for k, i in index.items():
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R_opt[i]
+            T[:3, 3] = t_opt[i] / s_opt[i]
+            m.kf_pose[k] = T
+        for pid in list(m.pt_valid):
+            m.update_normal_and_depth(pid)
+
+    # ------------------------------------------------------------------
+
+    def _global_ba(self, kf: int):
+        """Full-map BA (reference RunGlobalBundleAdjustment,
+        LoopClosing.cpp:607-758; Optimizer::GlobalBundleAdjustemnt)."""
+        m = self.map
+        kfs = sorted(m.kf_valid)
+        pts = sorted(m.pt_valid)
+        if len(kfs) < 2 or len(pts) < 10:
+            return
+        kf_index = {k: i for i, k in enumerate(kfs)}
+        pt_index = {p: i for i, p in enumerate(pts)}
+        obs_kf, obs_pt, obs, isig, ster = [], [], [], [], []
+        edge_meta = []
+        for p in pts:
+            for k, idx in m.pt_obs[p].items():
+                if k not in kf_index:
+                    continue
+                f = m.kf_frame[k]
+                obs_kf.append(kf_index[k])
+                obs_pt.append(pt_index[p])
+                obs.append([f.uv[idx][0], f.uv[idx][1], f.u_right[idx]])
+                isig.append(1.0 / self.frontend.level_sigma2[f.octave[idx]])
+                ster.append(f.u_right[idx] >= 0)
+                edge_meta.append((p, k))
+        if len(obs) < 20:
+            return
+
+        def pow2(n, lo):
+            return 1 << max(int(np.ceil(np.log2(max(n, lo)))), int(np.log2(lo)))
+
+        K = pow2(len(kfs), 8)
+        P = pow2(len(pts), 256)
+        E = pow2(len(obs), 1024)
+        poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        for k, i in kf_index.items():
+            poses[i] = m.kf_pose[k]
+        points = np.zeros((P, 3), np.float32)
+        for p, i in pt_index.items():
+            points[i] = m.pt_pos[p]
+        fixed = np.ones(K, bool)
+        for k, i in kf_index.items():
+            fixed[i] = k == 0
+        Epad = E - len(obs)
+        prob = ba.BAProblem(
+            poses=jnp.asarray(poses),
+            points=jnp.asarray(points),
+            obs_kf=jnp.asarray(np.pad(np.array(obs_kf, np.int32), (0, Epad))),
+            obs_pt=jnp.asarray(np.pad(np.array(obs_pt, np.int32), (0, Epad))),
+            obs=jnp.asarray(np.pad(np.array(obs, np.float32), ((0, Epad), (0, 0)))),
+            inv_sigma2=jnp.asarray(np.pad(np.array(isig, np.float32), (0, Epad))),
+            is_stereo=jnp.asarray(np.pad(np.array(ster, bool), (0, Epad))),
+            edge_valid=jnp.asarray(np.pad(np.ones(len(obs), bool), (0, Epad))),
+            pose_fixed=jnp.asarray(fixed),
+        )
+        res = self._jit_gba(prob, self.frontend.camera, n_iters_first=5,
+                            n_iters_second=10)
+        # staged write-back (the mTcwGBA two-phase commit collapses to a
+        # single phase in the host-sequenced pipeline)
+        new_poses = np.asarray(res.poses)
+        new_points = np.asarray(res.points)
+        for k, i in kf_index.items():
+            if not fixed[i]:
+                m.kf_pose[k] = new_poses[i]
+        for p, i in pt_index.items():
+            if p in m.pt_valid:
+                m.pt_pos[p] = new_points[i].astype(np.float64)
+        for p in pts:
+            if p in m.pt_valid:
+                m.update_normal_and_depth(p)

@@ -128,7 +128,10 @@ class Tracker:
         if ok:
             self.state = TrackingState.OK
             # motion model velocity: Tcl = Tcw_cur @ Twc_last
-            self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
+            if self.last_frame.Tcw is not None:
+                self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
+            else:
+                self.velocity = None
             # clean VO outliers
             if self._need_new_keyframe(frame):
                 self._create_new_keyframe(frame)

@@ -1,0 +1,104 @@
+"""System facade: public API, trajectory export, checkpoint roundtrip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from orbslam2_tpu.config import CameraConfig, OrbConfig, SlamConfig
+from orbslam2_tpu.datasets.synthetic import SyntheticWorld
+from orbslam2_tpu.evaluation.ate import load_tum_trajectory
+from orbslam2_tpu.slam.system import Sensor, System
+from orbslam2_tpu.slam.tracking import TrackingState
+from orbslam2_tpu.vocab import train
+
+
+@pytest.fixture(scope="module")
+def system_run():
+    world = SyntheticWorld(n_points=900, seed=5, baseline=0.2)
+    cfg = SlamConfig(
+        camera=CameraConfig(
+            fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+            bf=world.bf, width=world.width, height=world.height, fps=20.0,
+        ),
+        orb=OrbConfig(n_features=1000),
+    )
+    rng = np.random.default_rng(0)
+    voc = train.train_vocabulary(
+        rng.integers(0, 256, (2000, 32), dtype=np.uint8), k=6, depth=3,
+        doc_ids=np.repeat(np.arange(20), 100),
+    )
+    sys_ = System(voc, cfg, Sensor.STEREO)
+    poses_gt, frames = world.render_sequence(25, step=0.06)
+    for i, (imL, imR) in enumerate(frames):
+        sys_.track_stereo(imL, imR, i / 20.0)
+    return sys_, poses_gt
+
+
+class TestSystem:
+    def test_tracks(self, system_run):
+        sys_, _ = system_run
+        assert sys_.get_tracking_state() == TrackingState.OK
+        assert len(sys_.get_tracked_map_points()) > 50
+
+    def test_trajectory_files(self, system_run, tmp_path):
+        sys_, _ = system_run
+        for name, fn in [
+            ("traj.txt", sys_.save_trajectory_tum),
+            ("offline.txt", sys_.save_offline_trajectory_tum),
+            ("kf.txt", sys_.save_keyframe_trajectory_tum),
+            ("kitti.txt", sys_.save_trajectory_kitti),
+        ]:
+            p = str(tmp_path / name)
+            fn(p)
+            assert os.path.getsize(p) > 0
+        t = load_tum_trajectory(str(tmp_path / "traj.txt"))
+        assert t.shape[0] == 25 and t.shape[1] == 8
+        # quaternions normalized
+        qn = np.linalg.norm(t[:, 4:8], axis=1)
+        np.testing.assert_allclose(qn, 1.0, atol=1e-5)
+        with open(tmp_path / "kitti.txt") as f:
+            rows = [line.split() for line in f if line.strip()]
+        assert len(rows) == 25 and all(len(r) == 12 for r in rows)
+
+    def test_offline_starts_at_origin(self, system_run, tmp_path):
+        sys_, _ = system_run
+        p = str(tmp_path / "off.txt")
+        sys_.save_offline_trajectory_tum(p)
+        t = load_tum_trajectory(p)
+        np.testing.assert_allclose(t[0, 1:4], 0.0, atol=1e-4)
+
+    def test_checkpoint_roundtrip(self, system_run, tmp_path):
+        sys_, _ = system_run
+        p = str(tmp_path / "map.npz")
+        sys_.save_map(p)
+        from orbslam2_tpu.slam.map import SlamMap
+
+        m2 = SlamMap(sys_.config.orb.n_features)
+        from orbslam2_tpu.slam import checkpoint
+
+        checkpoint.load_map(m2, p)
+        assert m2.kf_valid == sys_.map.kf_valid
+        assert m2.pt_valid == sys_.map.pt_valid
+        k = next(iter(m2.kf_valid))
+        np.testing.assert_allclose(m2.kf_pose[k], sys_.map.kf_pose[k])
+        pid = next(iter(m2.pt_valid))
+        np.testing.assert_allclose(m2.pt_pos[pid], sys_.map.pt_pos[pid])
+        assert m2.pt_obs[pid] == sys_.map.pt_obs[pid]
+
+    def test_localization_mode(self, system_run):
+        sys_, _ = system_run
+        sys_.activate_localization_mode()
+        assert sys_.tracker.only_tracking
+        n_kf = sys_.map.n_keyframes()
+        world = SyntheticWorld(n_points=900, seed=5, baseline=0.2)
+        poses, frames = world.render_sequence(3, step=0.06)
+        for i, (imL, imR) in enumerate(frames):
+            sys_.track_stereo(imL, imR, 100 + i / 20.0)
+        assert sys_.map.n_keyframes() == n_kf  # no new keyframes
+        sys_.deactivate_localization_mode()
+
+    def test_timing_report(self, system_run):
+        sys_, _ = system_run
+        report = sys_.shutdown()
+        assert "Total tracking" in report
