@@ -60,8 +60,13 @@ class SlamConfig:
     camera: CameraConfig = field(default_factory=CameraConfig)
     orb: OrbConfig = field(default_factory=OrbConfig)
     th_depth: float = 35.0  # close/far point threshold multiplier (x baseline)
+    sensor: str = "stereo"  # "stereo" | "monocular"
     rectify_left: Optional[RectifyConfig] = None
     rectify_right: Optional[RectifyConfig] = None
+
+    @property
+    def monocular(self) -> bool:
+        return self.sensor == "monocular"
 
     @property
     def baseline(self) -> float:

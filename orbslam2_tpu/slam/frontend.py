@@ -78,11 +78,27 @@ class Frontend:
 
         self._process = _process
 
+        @jax.jit
+        def _process_mono(image):
+            f = orb.extract(image[None], params)
+            n = f.uv.shape[1]
+            no_stereo = jnp.full((n,), -1.0, jnp.float32)
+            return FrameFeatures(
+                uv=f.uv[0], octave=f.octave[0], angle=f.angle[0],
+                response=f.response[0], desc=f.desc[0], valid=f.valid[0],
+                u_right=no_stereo, depth=no_stereo,
+            )
+
+        self._process_mono = _process_mono
+
     def process(self, im_left: np.ndarray, im_right: np.ndarray) -> FrameFeatures:
         images = jnp.stack(
             [jnp.asarray(im_left, jnp.float32), jnp.asarray(im_right, jnp.float32)]
         )
         return self._process(images)
+
+    def process_mono(self, image: np.ndarray) -> FrameFeatures:
+        return self._process_mono(jnp.asarray(image, jnp.float32))
 
 
 class FrameHost:

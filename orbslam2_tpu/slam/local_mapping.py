@@ -106,7 +106,7 @@ class LocalMapper:
 
     def _cull_map_points(self, kf: int):
         """Reference LocalMapping::MapPointCulling (LocalMapping.cpp:165-195)."""
-        th_obs = 3  # stereo
+        th_obs = 2 if self.config.monocular else 3
         keep = []
         for pid in self.recent_points:
             if pid not in self.map.pt_valid:
@@ -152,11 +152,19 @@ class LocalMapper:
         free1 = f1.valid & (pids1 < 0)
         stereo1 = f1.u_right >= 0
 
-        neighbors = self.map.covisible_keyframes(kf1, 10)
+        neighbors = self.map.covisible_keyframes(
+            kf1, 20 if self.config.monocular else 10
+        )
         for kf2 in neighbors:
             O2 = self.map.kf_center(kf2)
             baseline = np.linalg.norm(O2 - O1)
-            if baseline < b:  # stereo rule (LocalMapping.cpp:232-239)
+            if self.config.monocular:
+                # mono rule: baseline / median scene depth (LocalMapping.cpp
+                # upstream): skip near-zero-parallax neighbors
+                med = self._median_scene_depth(kf2)
+                if med <= 0 or baseline / med < 0.01:
+                    continue
+            elif baseline < b:  # stereo rule (LocalMapping.cpp:232-239)
                 continue
             f2 = self.map.kf_frame[kf2]
             T2 = self.map.kf_pose[kf2].astype(np.float64)
@@ -269,6 +277,16 @@ class LocalMapper:
             self.recent_points.append(pid)
             n_created += 1
         return n_created
+
+    def _median_scene_depth(self, kf: int) -> float:
+        """KeyFrame::ComputeSceneMedianDepth equivalent."""
+        T = self.map.kf_pose[kf].astype(np.float64)
+        zs = []
+        for pid in self.map.kf_point[kf]:
+            if pid >= 0 and pid in self.map.pt_valid:
+                pc = T[:3, :3] @ self.map.pt_pos[int(pid)] + T[:3, 3]
+                zs.append(pc[2])
+        return float(np.median(zs)) if zs else -1.0
 
     def _unproject_kf(self, kf: int, i: int) -> np.ndarray:
         c = self.config.camera
@@ -490,7 +508,9 @@ class LocalMapper:
                 if pid < 0 or pid not in self.map.pt_valid:
                     continue
                 # stereo rule: only near points count (LocalMapping.cpp:628-631)
-                if f.depth[idx] > self.config.depth_threshold or f.depth[idx] < 0:
+                if not self.config.monocular and (
+                    f.depth[idx] > self.config.depth_threshold or f.depth[idx] < 0
+                ):
                     continue
                 n_pts += 1
                 if self.map.n_observations(int(pid)) <= 3:

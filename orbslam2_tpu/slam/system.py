@@ -47,6 +47,8 @@ class System:
     ):
         self.sensor = sensor
         self.config = settings if isinstance(settings, SlamConfig) else load_config(settings)
+        self.config.sensor = "monocular" if sensor == Sensor.MONOCULAR else "stereo"
+
 
         if vocabulary is None:
             self.vocabulary = None
@@ -101,6 +103,14 @@ class System:
         Returns Tcw [4,4] or None when tracking is lost."""
         with self.timers.span("Total tracking"):
             Tcw = self.tracker.track(im_left, im_right, timestamp)
+        if self.viewer is not None:
+            self.viewer.update()
+        return Tcw
+
+    def track_monocular(self, image, timestamp: float):
+        """Monocular per-frame entry (upstream TrackMonocular analog)."""
+        with self.timers.span("Total tracking"):
+            Tcw = self.tracker.track_mono(image, timestamp)
         if self.viewer is not None:
             self.viewer.update()
         return Tcw

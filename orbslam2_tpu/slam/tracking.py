@@ -100,11 +100,23 @@ class Tracker:
         self._track(frame)
         return frame.Tcw if self.state == TrackingState.OK else None
 
+    def track_mono(self, image, timestamp: float) -> Optional[np.ndarray]:
+        """Process one monocular frame (reference GrabImageMonocular analog)."""
+        feats = self.frontend.process_mono(image)
+        frame = FrameHost(feats, timestamp, self.frame_id)
+        self.frame_id += 1
+        self._track(frame)
+        return frame.Tcw if self.state == TrackingState.OK else None
+
     def _track(self, frame: FrameHost):
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             self.state = TrackingState.NOT_INITIALIZED
-            self._stereo_initialization(frame)
+            if self.config.monocular:
+                self._monocular_initialization(frame)
+            else:
+                self._stereo_initialization(frame)
             if self.state != TrackingState.OK:
+                self.last_frame = frame
                 return
             self._record_trajectory(frame)
             self.last_frame = frame
@@ -176,6 +188,122 @@ class Tracker:
             self.local_mapper.insert_keyframe(kf)
         self.state = TrackingState.OK
 
+    def _monocular_initialization(self, frame: FrameHost):
+        """Two-view monocular bootstrap (upstream Tracking::Monocular-
+        Initialization — present but disabled in the reference fork,
+        include/Tracking.hpp:134-135; capability per BASELINE config 3)."""
+        if getattr(self, "_init_ref", None) is None:
+            if frame.n_keypoints > 100:
+                self._init_ref = frame
+            return
+        ref = self._init_ref
+        if frame.n_keypoints <= 100:
+            self._init_ref = None
+            return
+        matches = self._match_for_initialization(ref, frame)
+        n = int((matches >= 0).sum())
+        if n < 100:
+            self._init_ref = None
+            return
+
+        from ..ops import initializer as init_mod
+        import jax
+
+        N = self._N
+        uv1 = np.zeros((N, 2), np.float32)
+        uv2 = np.zeros((N, 2), np.float32)
+        valid = matches >= 0
+        uv1[valid] = ref.uv[valid]
+        uv2[valid] = frame.uv[matches[valid]]
+        key = jax.random.PRNGKey(frame.frame_id)
+        res = jax.jit(
+            init_mod.initialize_two_view, static_argnames=("n_hyp",)
+        )(key, jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(valid), self.cam)
+        if not bool(res.success):
+            return
+        self._create_initial_map_monocular(ref, frame, matches, res)
+
+    def _match_for_initialization(self, ref: FrameHost, cur: FrameHost) -> np.ndarray:
+        """SearchForInitialization equivalent (ORBmatcher window 100, ratio
+        0.9, octave 0 only, rotation check). Returns per-ref-kp index into
+        cur (-1 none)."""
+        from ..ops import hamming as ham_mod
+
+        d = ham_mod.hamming_matrix(jnp.asarray(ref.desc), jnp.asarray(cur.desc))
+        du = np.abs(ref.uv[:, 0][:, None] - cur.uv[:, 0][None, :])
+        dv = np.abs(ref.uv[:, 1][:, None] - cur.uv[:, 1][None, :])
+        window = (du <= 100) & (dv <= 100)
+        o0 = (ref.octave[:, None] == 0) & (cur.octave[None, :] == 0)
+        mask = jnp.asarray(window & o0) & jnp.asarray(ref.valid)[:, None] & jnp.asarray(cur.valid)[None, :]
+        idx, best, second = ham_mod.masked_two_smallest(d, mask)
+        idx, best, second = np.asarray(idx), np.asarray(best), np.asarray(second)
+        ok = (best < ham_mod.TH_LOW) & (best < 0.9 * second)
+        keep = np.asarray(
+            matchers.rotation_consistency_mask(
+                jnp.asarray(ref.angle), jnp.asarray(cur.angle[idx]), jnp.asarray(ok)
+            )
+        )
+        out = np.full(self._N, -1, np.int64)
+        used = np.zeros(self._N, bool)
+        for i in np.argsort(best):
+            if keep[i] and not used[idx[i]]:
+                out[i] = idx[i]
+                used[idx[i]] = True
+        return out
+
+    def _create_initial_map_monocular(self, ref, frame, matches, res):
+        """CreateInitialMapMonocular: two keyframes, triangulated points,
+        scale normalized to unit median depth, then the initial BA."""
+        T21 = np.asarray(res.T21)
+        point_ok = np.asarray(res.point_ok)
+        X = np.asarray(res.points)
+
+        ref.Tcw = np.eye(4, dtype=np.float32)
+        frame.Tcw = T21.astype(np.float32)
+        kf1 = self.map.add_keyframe(ref, ref.Tcw)
+        kf2 = self.map.add_keyframe(frame, frame.Tcw)
+
+        depths = []
+        created = []
+        for i in np.nonzero((matches >= 0) & point_ok)[0]:
+            j = int(matches[i])
+            pid = self.map.add_point(X[i], kf1, ref.desc[i])
+            self.map.add_observation(pid, kf1, int(i))
+            self.map.add_observation(pid, kf2, j)
+            self.map.compute_distinctive_descriptor(pid)
+            ref.point_ids[i] = pid
+            frame.point_ids[j] = pid
+            created.append(pid)
+            depths.append(X[i][2])
+        self.map.kf_point[kf1] = ref.point_ids.copy()
+        self.map.kf_point[kf2] = frame.point_ids.copy()
+        self.map.update_connections(kf1)
+        self.map.update_connections(kf2)
+
+        # scale: unit median depth (upstream CreateInitialMapMonocular)
+        med = float(np.median(depths))
+        if med <= 0 or len(created) < 50:
+            self.map.clear()
+            self._init_ref = None
+            return
+        inv_med = 1.0 / med
+        frame.Tcw[:3, 3] *= inv_med
+        self.map.kf_pose[kf2] = frame.Tcw.copy()
+        for pid in created:
+            self.map.pt_pos[pid] = self.map.pt_pos[pid] * inv_med
+            self.map.update_normal_and_depth(pid)
+
+        self.map.keyframe_origins.append(kf1)
+        self.ref_kf = kf2
+        self.last_kf_id = frame.frame_id
+        self.local_keyframes = [kf1, kf2]
+        self.local_points = list(created)
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf1)
+            self.local_mapper.insert_keyframe(kf2)
+        self.velocity = None
+        self.state = TrackingState.OK
+
     def _unproject(self, frame: FrameHost, i: int) -> np.ndarray:
         z = frame.depth[i]
         u, v = frame.uv[i]
@@ -243,10 +371,11 @@ class Tracker:
         lf = self.last_frame
         frame.Tcw = (self.velocity @ lf.Tcw).astype(np.float32)
 
-        n = self._match_last_frame(frame, th=7.0)
+        th = 15.0 if self.config.monocular else 7.0  # reference Tracking.cpp:726-730
+        n = self._match_last_frame(frame, th=th)
         if n < 20:
             frame.point_ids[:] = -1
-            n = self._match_last_frame(frame, th=14.0)
+            n = self._match_last_frame(frame, th=2 * th)
         if n < 20:
             return False
         self._pose_optimize(frame)
@@ -507,12 +636,20 @@ class Tracker:
         n_ref_matches = self._tracked_in_keyframe(self.ref_kf, n_min_obs)
         idle = lm.accept_keyframes() if lm is not None else True
 
-        close = frame.valid & (frame.depth > 0) & (frame.depth < self.config.depth_threshold)
-        tracked_close = int((close & (frame.point_ids >= 0) & ~frame.outlier).sum())
-        non_tracked_close = int((close & ((frame.point_ids < 0) | frame.outlier)).sum())
-        need_close = (tracked_close < 100) and (non_tracked_close > 70)
+        if self.config.monocular:
+            need_close = False
+        else:
+            close = frame.valid & (frame.depth > 0) & (frame.depth < self.config.depth_threshold)
+            tracked_close = int((close & (frame.point_ids >= 0) & ~frame.outlier).sum())
+            non_tracked_close = int((close & ((frame.point_ids < 0) | frame.outlier)).sum())
+            need_close = (tracked_close < 100) and (non_tracked_close > 70)
 
-        th_ref = 0.75 if n_kfs >= 2 else 0.4
+        if n_kfs < 2:
+            th_ref = 0.4
+        elif self.config.monocular:
+            th_ref = 0.9  # upstream monocular threshold
+        else:
+            th_ref = 0.75
         c1a = frame.frame_id >= self.last_kf_id + self.max_frames
         c1b = frame.frame_id >= self.last_kf_id + self.min_frames and idle
         c1c = self.n_inliers < n_ref_matches * 0.25 or need_close
@@ -543,6 +680,14 @@ class Tracker:
         """Reference Tracking::CreateNewKeyFrame (Tracking.cpp:899-977)."""
         kf = self.map.add_keyframe(frame, frame.Tcw)
         self.ref_kf = kf
+        if self.config.monocular:
+            # mono keyframes carry no stereo points; triangulation in the
+            # local mapper populates the map (upstream CreateNewKeyFrame)
+            self.map.update_connections(kf)
+            if self.local_mapper is not None:
+                self.local_mapper.insert_keyframe(kf)
+            self.last_kf_id = frame.frame_id
+            return
         # create close stereo points not yet mapped
         depth_ok = frame.valid & (frame.depth > 0)
         order = np.argsort(frame.depth[depth_ok])
