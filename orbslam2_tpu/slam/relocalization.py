@@ -30,11 +30,13 @@ class Relocalizer:
         frontend: Frontend,
         slam_map: SlamMap,
         vocab: bow_mod.Vocabulary,
+        solver: str = "epnp",  # "epnp" | "mlpnp" (BASELINE config 4 variant)
     ):
         self.config = config
         self.frontend = frontend
         self.map = slam_map
         self.vocab = vocab
+        self.solver = solver
         self.database = KeyFrameDatabase(vocab.n_words)
         self._key = jax.random.PRNGKey(42)
 
@@ -42,6 +44,12 @@ class Relocalizer:
             lambda d, v: bow_mod.transform_jit(vocab, d, v)
         )
         self._jit_ransac = jax.jit(pnp.pnp_ransac, static_argnames=("n_hyp",))
+        from ..ops import mlpnp as mlpnp_mod
+
+        self._mlpnp = mlpnp_mod
+        self._jit_mlpnp = jax.jit(
+            mlpnp_mod.mlpnp_ransac, static_argnames=("n_hyp",)
+        )
         self._jit_pose_opt = jax.jit(
             lambda T0, pw, obs, isig, ster, valid: pose_opt.pose_optimize(
                 T0, pw, obs, isig, ster, valid, frontend.camera
@@ -88,28 +96,44 @@ class Relocalizer:
             valid = pids >= 0
             for i in np.nonzero(valid)[0]:
                 pw[i] = self.map.pt_pos[int(pids[i])]
-            obs_n = np.stack(
-                [
-                    (frame.uv[:, 0] - cam.cx) / cam.fx,
-                    (frame.uv[:, 1] - cam.cy) / cam.fy,
-                ],
-                axis=1,
-            ).astype(np.float32)
-            max_err2 = (5.991 * sigma2[frame.octave] / (cam.fx * cam.fx)).astype(
-                np.float32
-            )
             self._key, sub = jax.random.split(self._key)
-            res = self._jit_ransac(
-                sub, jnp.asarray(pw), jnp.asarray(obs_n), jnp.asarray(valid),
-                jnp.asarray(max_err2),
-            )
-            if int(res.n_inliers) < 10:
-                continue
-            Tcw = np.eye(4, dtype=np.float32)
-            Tcw[:3, :3] = np.asarray(res.R)
-            Tcw[:3, 3] = np.asarray(res.t)
-            frame.Tcw = Tcw
-            inl = np.asarray(res.inliers)
+            if self.solver == "mlpnp":
+                bearings = self._mlpnp.bearings_from_pixels(
+                    jnp.asarray(frame.uv), cam.fx, cam.fy, cam.cx, cam.cy
+                )
+                # angular gate equivalent to the pixel chi2 gate
+                ang = np.sqrt(5.991 * sigma2[frame.octave]) / cam.fx
+                cos_th = jnp.asarray(np.cos(ang).astype(np.float32))
+                mres = self._jit_mlpnp(
+                    sub, jnp.asarray(pw), bearings, jnp.asarray(valid), cos_th
+                )
+                if int(mres.n_inliers) < 10:
+                    continue
+                Tcw = np.asarray(mres.Tcw).astype(np.float32)
+                frame.Tcw = Tcw
+                inl = np.asarray(mres.inliers)
+            else:
+                obs_n = np.stack(
+                    [
+                        (frame.uv[:, 0] - cam.cx) / cam.fx,
+                        (frame.uv[:, 1] - cam.cy) / cam.fy,
+                    ],
+                    axis=1,
+                ).astype(np.float32)
+                max_err2 = (
+                    5.991 * sigma2[frame.octave] / (cam.fx * cam.fx)
+                ).astype(np.float32)
+                res = self._jit_ransac(
+                    sub, jnp.asarray(pw), jnp.asarray(obs_n), jnp.asarray(valid),
+                    jnp.asarray(max_err2),
+                )
+                if int(res.n_inliers) < 10:
+                    continue
+                Tcw = np.eye(4, dtype=np.float32)
+                Tcw[:3, :3] = np.asarray(res.R)
+                Tcw[:3, 3] = np.asarray(res.t)
+                frame.Tcw = Tcw
+                inl = np.asarray(res.inliers)
             frame.point_ids[:] = np.where(inl & valid, pids, -1)
 
             n_good = self._optimize(frame)

@@ -67,6 +67,30 @@ class TestRelocalization:
         C_gt = -T_gt[:3, :3].T @ T_gt[:3, 3]
         assert np.linalg.norm(C_est - C_gt) < 0.1, np.linalg.norm(C_est - C_gt)
 
+    def test_mlpnp_relocalization(self, slam_with_reloc):
+        """BASELINE config 4: the MLPnP relocalization path."""
+        world, cfg, tracker, poses_gt, frames = slam_with_reloc
+        from orbslam2_tpu.slam.relocalization import Relocalizer
+        from orbslam2_tpu.slam.tracking import TrackingState
+
+        reloc2 = Relocalizer(
+            cfg, tracker.frontend, tracker.map, tracker.relocalizer.vocab,
+            solver="mlpnp",
+        )
+        reloc2.database = tracker.relocalizer.database  # reuse the index
+        old = tracker.relocalizer
+        tracker.relocalizer = reloc2
+        tracker.state = TrackingState.LOST
+        tracker.velocity = None
+        imL, imR = frames[20]
+        Tcw = tracker.track(imL, imR, 123.0)
+        tracker.relocalizer = old
+        assert tracker.state == TrackingState.OK, "MLPnP relocalization failed"
+        T_gt = poses_gt[20]
+        C_est = -Tcw[:3, :3].T @ Tcw[:3, 3]
+        C_gt = -T_gt[:3, :3].T @ T_gt[:3, 3]
+        assert np.linalg.norm(C_est - C_gt) < 0.15
+
     def test_database_contains_keyframes(self, slam_with_reloc):
         _, _, tracker, _, _ = slam_with_reloc
         db = tracker.relocalizer.database
