@@ -313,13 +313,79 @@ def _select_level_keypoints(
 
 
 # ---------------------------------------------------------------------------
+# patch-based per-keypoint stages (Pallas DMA + small-domain VPU math)
+# ---------------------------------------------------------------------------
+
+_PATCH_C = 21  # keypoint offset inside the 48x48 patch (+-18 brief +3 blur)
+_BLUR_C = 18  # keypoint offset inside the blurred 42x42 interior
+
+
+def _patch_weights():
+    """IC-angle weight maps embedded at the patch center."""
+    wx = np.zeros((48, 48), np.float32)
+    wy = np.zeros((48, 48), np.float32)
+    sl = slice(_PATCH_C - 15, _PATCH_C + 16)
+    wx[sl, sl] = _IC_DX * _IC_MASK
+    wy[sl, sl] = _IC_DY * _IC_MASK
+    return wx, wy
+
+
+_WX48, _WY48 = _patch_weights()
+
+
+def _features_from_patches(P: jax.Array):
+    """P [K,48,48] raw patches (keypoint at (_PATCH_C, _PATCH_C)) ->
+    (angle [K], desc [K,8] uint32). All gathers stay on the 42x42=1764
+    patch domain, which the VPU handles natively."""
+    m10 = jnp.einsum("kij,ij->k", P, jnp.asarray(_WX48))
+    m01 = jnp.einsum("kij,ij->k", P, jnp.asarray(_WY48))
+    ang = jnp.arctan2(m01, m10)
+
+    # 7x7 sigma=2 separable blur of the patch interior -> [K,42,42]
+    row = jnp.zeros(P.shape[:1] + (48, 42), P.dtype)
+    for k in range(7):
+        row = row + _G7[k] * P[:, :, k : k + 42]
+    blur = jnp.zeros(P.shape[:1] + (42, 42), P.dtype)
+    for k in range(7):
+        blur = blur + _G7[k] * row[:, k : k + 42, :]
+
+    pat = jnp.asarray(_PATTERN, jnp.float32)
+    a = jnp.cos(ang)[:, None]
+    b = jnp.sin(ang)[:, None]
+    px = jnp.concatenate([pat[:, 0], pat[:, 2]])
+    py = jnp.concatenate([pat[:, 1], pat[:, 3]])
+    cols = jnp.round(px[None, :] * a - py[None, :] * b).astype(jnp.int32)
+    rows = jnp.round(px[None, :] * b + py[None, :] * a).astype(jnp.int32)
+    flat = (rows + _BLUR_C) * 42 + (cols + _BLUR_C)  # [K,512]
+    vals = jnp.take_along_axis(blur.reshape(P.shape[0], -1), flat, axis=1)
+    t0 = vals[:, :256]
+    t1 = vals[:, 256:]
+    bits = (t0 < t1).astype(jnp.uint32)
+    words = jnp.sum(
+        bits.reshape(-1, 8, 32) * jnp.asarray(_BIT_W)[None, None, :], axis=-1
+    )
+    return ang, words.astype(jnp.uint32)
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
 # full extractor
 # ---------------------------------------------------------------------------
 
 
 def extract(images: jax.Array, params: OrbParams) -> OrbFeatures:
     """images [B,H,W] float32 (0..255 grayscale) -> OrbFeatures with
-    N = params.n_features slots per image. Call under jit."""
+    N = params.n_features slots per image. Call under jit.
+
+    Per-keypoint sampling goes through the Pallas patch-DMA kernel
+    (ops/patches.py): XLA's gather lowering against full images moved
+    ~48 GB of HBM per frame; explicit per-keypoint DMAs plus 48x48 patch
+    math run at compute-bound speed."""
+    from . import patches as patches_mod
+
     B, H, W = images.shape
     sizes = level_sizes(H, W, params)
     budgets = features_per_level(params)
@@ -338,13 +404,29 @@ def extract(images: jax.Array, params: OrbParams) -> OrbFeatures:
         xs, ys, resp, valid = _select_level_keypoints(
             score, n_t, params.ini_th, params.min_th
         )
-        pad = jnp.pad(img_l, [(0, 0), (EDGE, EDGE), (EDGE, EDGE)], mode="reflect")
         # clamp invalid slots to a safe in-bounds position
         xs_s = jnp.where(valid, xs, KP_BORDER)
         ys_s = jnp.where(valid, ys, KP_BORDER)
-        ang = jax.vmap(_ic_angle_single)(pad, xs_s, ys_s)
-        blur_pad = gauss7(pad)
-        desc = jax.vmap(_brief_single)(blur_pad, xs_s, ys_s, ang)
+
+        # pad 24px (reflect) for sampling context, then zero-extend to the
+        # DMA alignment envelope (rows %8, lanes %128, plus window slack)
+        ppad = 24
+        Hp = _round_up(h + 2 * ppad + 8, 8)
+        Wp = _round_up(w + 2 * ppad + (patches_mod.PATCH_W - patches_mod.PATCH), 128)
+        imp = jnp.pad(img_l, [(0, 0), (ppad, ppad), (ppad, ppad)], mode="reflect")
+        imp = jnp.pad(
+            imp, [(0, 0), (0, Hp - h - 2 * ppad), (0, Wp - w - 2 * ppad)]
+        )
+        angs, descs = [], []
+        for b in range(B):
+            P = patches_mod.extract_patches(
+                imp[b], xs_s[b] + ppad - _PATCH_C, ys_s[b] + ppad - _PATCH_C
+            )
+            ang_b, desc_b = _features_from_patches(P)
+            angs.append(ang_b)
+            descs.append(desc_b)
+        ang = jnp.stack(angs)
+        desc = jnp.stack(descs)
 
         scale = jnp.float32(sf[lvl])
         uv_l.append(jnp.stack([xs_s * scale, ys_s * scale], axis=-1))
