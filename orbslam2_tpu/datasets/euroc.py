@@ -61,6 +61,14 @@ class Rectifier:
     def __call__(self, im_left: np.ndarray, im_right: np.ndarray):
         if self.maps is None:
             return im_left, im_right
+        from .. import native
+
+        if native.available():
+            # native threaded remap: both eyes rectify concurrently
+            ar = native.AsyncRemap()
+            hl = ar.submit(im_left, self.m1l, self.m2l)
+            hr = ar.submit(im_right, self.m1r, self.m2r)
+            return ar.wait(hl), ar.wait(hr)
         import cv2
 
         return (

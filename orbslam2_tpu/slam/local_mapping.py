@@ -12,6 +12,7 @@ host flags since stages run interleaved on one queue.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -37,6 +38,7 @@ class LocalMapper:
         self._queue: List[int] = []
         self.n_processed = 0
         self.on_processed = None  # downstream stage hook (loop closing)
+        self.timers = None  # StageTimers, wired by System
 
         sf = frontend.scale_factors
         sig2 = jnp.asarray(frontend.level_sigma2, jnp.float32)
@@ -88,16 +90,25 @@ class LocalMapper:
             k = self._queue.pop(0)
             self._process(k)
 
+    def _span(self, name):
+        return self.timers.span(name) if self.timers else contextlib.nullcontext()
+
     def _process(self, kf: int):
-        self.map.update_connections(kf)
-        self._cull_map_points(kf)
-        self._create_new_points(kf)
+        with self._span("Keyframe insertion"):
+            self.map.update_connections(kf)
+        with self._span("Map point culling"):
+            self._cull_map_points(kf)
+        with self._span("Map point creation"):
+            self._create_new_points(kf)
         if not self._queue:
-            self._fuse_neighbors(kf)
+            with self._span("Map point fusion"):
+                self._fuse_neighbors(kf)
         if self.map.n_keyframes() > 2 and not self._queue:
             self._abort_ba = False
-            self._local_ba(kf)
-            self._cull_keyframes(kf)
+            with self._span("Local BA"):
+                self._local_ba(kf)
+            with self._span("Keyframe culling"):
+                self._cull_keyframes(kf)
         self.n_processed += 1
         if self.on_processed is not None:
             self.on_processed(kf)

@@ -14,6 +14,7 @@ host-sequenced stage over the TPU kernels:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax
@@ -54,6 +55,7 @@ class LoopCloser:
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.last_loop_kf = -MIN_LOOP_GAP
         self.n_loops_closed = 0
+        self.timers = None  # StageTimers, wired by System
         self._key = jax.random.PRNGKey(7)
 
         self._jit_ransac = jax.jit(
@@ -70,6 +72,9 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
 
+    def _span(self, name):
+        return self.timers.span(name) if self.timers else contextlib.nullcontext()
+
     def insert_keyframe(self, kf: int) -> bool:
         """Process one keyframe; returns True if a loop was closed."""
         closed = False
@@ -77,9 +82,14 @@ class LoopCloser:
             self.map.n_keyframes() > MIN_LOOP_GAP
             and kf >= self.last_loop_kf + MIN_LOOP_GAP
         ):
-            if self._detect_loop(kf) and self._compute_sim3(kf):
-                self._correct_loop(kf)
-                closed = True
+            with self._span("Loop detection"):
+                detected = self._detect_loop(kf)
+            if detected:
+                with self._span("Sim3 computation"):
+                    matched = self._compute_sim3(kf)
+                if matched:
+                    self._correct_loop(kf)
+                    closed = True
         # the reference adds the KF to the database at the end of DetectLoop
         if kf not in self.reloc.database.kf_words:
             self.reloc.add_keyframe(kf)
@@ -376,6 +386,8 @@ class LoopCloser:
                 m.compute_distinctive_descriptor(loop_pid)
 
         # fuse loop points into every corrected keyframe (SearchAndFuse)
+        fusion_span = self._span("Loop fusion")
+        fusion_span.__enter__()
         old_neighbors = {ki: set(m.covisible_keyframes(ki)) for ki in current_group}
         for ki in current_group:
             Rc, tc, sc = corrected[ki]
@@ -407,15 +419,18 @@ class LoopCloser:
             if fresh:
                 loop_connections[ki] = fresh
 
-        self._optimize_essential_graph(
-            kf, corrected, non_corrected, loop_connections
-        )
+        fusion_span.__exit__(None, None, None)
+        with self._span("Essential graph"):
+            self._optimize_essential_graph(
+                kf, corrected, non_corrected, loop_connections
+            )
 
         # loop edge bookkeeping
         m.loop_edges[kf].add(self._matched_kf)
         m.loop_edges[self._matched_kf].add(kf)
 
-        self._global_ba(kf)
+        with self._span("Global BA"):
+            self._global_ba(kf)
 
         if self.local_mapper is not None:
             self.local_mapper.release()

@@ -89,6 +89,10 @@ class System:
                 )
 
         self.timers = StageTimers()
+        self.tracker.timers = self.timers
+        self.local_mapper.timers = self.timers
+        if self.loop_closer is not None:
+            self.loop_closer.timers = self.timers
         self.viewer = None
         if use_viewer:
             from .viewer import Viewer

@@ -11,6 +11,7 @@ States mirror the reference enum (Tracking.hpp:80-86).
 
 from __future__ import annotations
 
+import contextlib
 import enum
 from typing import List, Optional
 
@@ -64,6 +65,7 @@ class Tracker:
         self.local_mapper = None  # wired by System; must expose interface below
         self.only_tracking = False
         self.relocalizer = None  # wired by System once place recognition exists
+        self.timers = None  # StageTimers, wired by System
 
         N = config.orb.n_features
         self._N = N
@@ -92,9 +94,16 @@ class Tracker:
 
     # ------------------------------------------------------------------
 
+    def _span(self, name):
+        return self.timers.span(name) if self.timers else contextlib.nullcontext()
+
     def track(self, im_left, im_right, timestamp: float) -> Optional[np.ndarray]:
         """Process one stereo frame; returns Tcw or None when lost."""
-        feats = self.frontend.process(im_left, im_right)
+        # ORB extraction and stereo matching are ONE fused device program
+        # (the reference times them separately, Frame.cpp:112-132; here the
+        # fusion is the point — the span covers both)
+        with self._span("ORB extraction + stereo matching"):
+            feats = self.frontend.process(im_left, im_right)
         frame = FrameHost(feats, timestamp, self.frame_id)
         self.frame_id += 1
         self._track(frame)
@@ -125,17 +134,20 @@ class Tracker:
         ok = False
         if self.state == TrackingState.OK:
             self._check_replaced_in_last_frame()
-            if self.velocity is None or frame.frame_id < self.last_reloc_frame_id + 2:
-                ok = self._track_reference_keyframe(frame)
-            else:
-                ok = self._track_with_motion_model(frame)
-                if not ok:
+            with self._span("Pose prediction"):
+                if self.velocity is None or frame.frame_id < self.last_reloc_frame_id + 2:
                     ok = self._track_reference_keyframe(frame)
+                else:
+                    ok = self._track_with_motion_model(frame)
+                    if not ok:
+                        ok = self._track_reference_keyframe(frame)
         else:  # LOST
-            ok = self._relocalize(frame)
+            with self._span("Relocalization"):
+                ok = self._relocalize(frame)
 
         if ok:
-            ok = self._track_local_map(frame)
+            with self._span("Local map tracking"):
+                ok = self._track_local_map(frame)
 
         if ok:
             self.state = TrackingState.OK
@@ -145,8 +157,11 @@ class Tracker:
             else:
                 self.velocity = None
             # clean VO outliers
-            if self._need_new_keyframe(frame):
-                self._create_new_keyframe(frame)
+            with self._span("New keyframe decision"):
+                need_kf = self._need_new_keyframe(frame)
+            if need_kf:
+                with self._span("New keyframe creation"):
+                    self._create_new_keyframe(frame)
             # drop outlier associations for next frame
             frame.point_ids[frame.outlier] = -1
             frame.outlier[:] = False
