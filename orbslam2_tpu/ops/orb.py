@@ -417,16 +417,18 @@ def extract(images: jax.Array, params: OrbParams) -> OrbFeatures:
         imp = jnp.pad(
             imp, [(0, 0), (0, Hp - h - 2 * ppad), (0, Wp - w - 2 * ppad)]
         )
-        angs, descs = [], []
-        for b in range(B):
-            P = patches_mod.extract_patches(
-                imp[b], xs_s[b] + ppad - _PATCH_C, ys_s[b] + ppad - _PATCH_C
-            )
-            ang_b, desc_b = _features_from_patches(P)
-            angs.append(ang_b)
-            descs.append(desc_b)
-        ang = jnp.stack(angs)
-        desc = jnp.stack(descs)
+        # stack the batch vertically so ONE kernel launch serves all images
+        # (row offsets select the eye)
+        imp_tall = imp.reshape(B * Hp, Wp)
+        xs_all = (xs_s + ppad - _PATCH_C).reshape(-1)
+        ys_all = (
+            ys_s + ppad - _PATCH_C
+            + (jnp.arange(B, dtype=jnp.int32) * Hp)[:, None]
+        ).reshape(-1)
+        P = patches_mod.extract_patches(imp_tall, xs_all, ys_all)
+        ang_f, desc_f = _features_from_patches(P)
+        ang = ang_f.reshape(B, n_t)
+        desc = desc_f.reshape(B, n_t, 8)
 
         scale = jnp.float32(sf[lvl])
         uv_l.append(jnp.stack([xs_s * scale, ys_s * scale], axis=-1))
