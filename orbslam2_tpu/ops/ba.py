@@ -174,7 +174,7 @@ def _pcg_solve(prob, cam, poses, points, use_huber, lam, n_cg, axis_name=None):
     eye6 = jnp.eye(6)
     eye3 = jnp.eye(3)
     Mc = jnp.linalg.inv(Hcc + (lam + 1e-6) * eye6)  # [K,6,6]
-    Mp = jnp.linalg.inv(Hpp + (lam + 1e-6) * eye3)  # [P,3,3]
+    Mp = inv3x3(Hpp + (lam + 1e-6) * eye3)  # [P,3,3]
 
     def precond(rc, rp):
         pc_ = _einsum("kij,kj->ki", Mc, rc) * free[:, None]
@@ -295,3 +295,322 @@ def ba_solve(
 @functools.partial(jax.jit, static_argnames=("n_iters_first", "n_iters_second", "n_cg"))
 def ba_solve_jit(prob, cam, n_iters_first=5, n_iters_second=10, n_cg=30):
     return ba_solve(prob, cam, n_iters_first, n_iters_second, n_cg)
+
+
+# ===========================================================================
+# Point-major bundle adjustment (the fast path)
+#
+# The COO solver above is layout-agnostic but pays for every reduction with
+# an XLA scatter, which the TPU serializes per update. The point-major
+# layout [P, D] (each point row carries up to D observations, padded)
+# makes every reduction hardware-shaped:
+#   * point-side gradients/Hessian blocks: a sum over the D axis (VPU);
+#   * camera-side reductions: one-hot matmuls against A[E, K] (MXU);
+#   * the camera gather in the H*v product: A @ vc (MXU);
+#   * the point gather: a broadcast within the row (free).
+# It also gives the distributed decomposition of the north star directly:
+# shard the POINT ROWS (map blocks) across devices — point-side state
+# stays local, camera-side reductions ride one psum per CG step.
+# ===========================================================================
+
+
+def inv3x3(M: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 inverse (adjugate/det) — pure VPU math;
+    jnp.linalg.inv's LU path serializes on TPU for large batches."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+class BAProblemPM(NamedTuple):
+    poses: jax.Array  # [K,4,4]
+    points: jax.Array  # [P,3]
+    obs_kf: jax.Array  # [P,D] int32
+    obs: jax.Array  # [P,D,3]
+    inv_sigma2: jax.Array  # [P,D]
+    is_stereo: jax.Array  # [P,D]
+    edge_valid: jax.Array  # [P,D]
+    pose_fixed: jax.Array  # [K]
+
+
+def coo_to_pm(prob: BAProblem, max_obs: int = 16) -> BAProblemPM:
+    """Host-side conversion (numpy): group edges by point, pad rows to the
+    next power of two of the max observation count (capped; overflow edges
+    beyond the cap are dropped — rare and harmless for the optimum)."""
+    import numpy as onp
+
+    obs_pt = onp.asarray(prob.obs_pt)
+    valid = onp.asarray(prob.edge_valid)
+    P = prob.points.shape[0]
+    counts = onp.zeros(P, onp.int64)
+    order = onp.argsort(obs_pt, kind="stable")
+    D = 1
+    kf = onp.zeros((P, max_obs), onp.int32)
+    ob = onp.zeros((P, max_obs, 3), onp.float32)
+    isig = onp.ones((P, max_obs), onp.float32)
+    ster = onp.zeros((P, max_obs), bool)
+    val = onp.zeros((P, max_obs), bool)
+    obs_np = onp.asarray(prob.obs)
+    kf_np = onp.asarray(prob.obs_kf)
+    isig_np = onp.asarray(prob.inv_sigma2)
+    ster_np = onp.asarray(prob.is_stereo)
+    for e in order:
+        p = obs_pt[e]
+        c = counts[p]
+        if c >= max_obs or not valid[e]:
+            continue
+        kf[p, c] = kf_np[e]
+        ob[p, c] = obs_np[e]
+        isig[p, c] = isig_np[e]
+        ster[p, c] = ster_np[e]
+        val[p, c] = True
+        counts[p] = c + 1
+        D = max(D, c + 1)
+    D = 1 << (int(D) - 1).bit_length()
+    return BAProblemPM(
+        poses=prob.poses, points=prob.points,
+        obs_kf=jnp.asarray(kf[:, :D]), obs=jnp.asarray(ob[:, :D]),
+        inv_sigma2=jnp.asarray(isig[:, :D]), is_stereo=jnp.asarray(ster[:, :D]),
+        edge_valid=jnp.asarray(val[:, :D]), pose_fixed=prob.pose_fixed,
+    )
+
+
+def _pm_edge_terms(poses, points, prob: BAProblemPM, cam: Camera):
+    """Like _edge_terms on the [P,D] layout: r [P,D,3], Jc [P,D,3,6],
+    Jp [P,D,3,3], comp [P,D,3], depth_ok [P,D]."""
+    T = poses[prob.obs_kf]  # [P,D,4,4]
+    pw = points[:, None, :]  # broadcast within the row
+    R = T[..., :3, :3]
+    pc = _einsum("pdij,pj->pdi", R, points) + T[..., :3, 3]
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    inv_z = 1.0 / zs
+    inv_z2 = inv_z * inv_z
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+    pred = jnp.stack([u, v, ur], axis=-1)
+    r = prob.obs - pred
+    zero = jnp.zeros_like(x)
+    dh = jnp.stack(
+        [
+            jnp.stack([cam.fx * inv_z, zero, -cam.fx * x * inv_z2], -1),
+            jnp.stack([zero, cam.fy * inv_z, -cam.fy * y * inv_z2], -1),
+            jnp.stack([cam.fx * inv_z, zero, (-cam.fx * x + cam.bf) * inv_z2], -1),
+        ],
+        axis=-2,
+    )
+    hat_pc = se3.hat(pc)
+    dpc = jnp.concatenate(
+        [-hat_pc, jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), hat_pc.shape)],
+        axis=-1,
+    )
+    Jc = -_einsum("pdij,pdjk->pdik", dh, dpc)
+    Jp = -_einsum("pdij,pdjk->pdik", dh, R)
+    comp = jnp.stack(
+        [jnp.ones_like(x), jnp.ones_like(x), prob.is_stereo.astype(x.dtype)], -1
+    )
+    return r, Jc, Jp, comp, z > 0.0
+
+
+def _pm_weights(r, comp, prob, depth_ok, use_huber):
+    e2 = jnp.sum(r * r * comp, axis=-1) * prob.inv_sigma2
+    delta = jnp.where(prob.is_stereo, DELTA_STEREO, DELTA_MONO)
+    delta2 = delta * delta
+    w_h = jnp.where(
+        use_huber & (e2 > delta2), delta / jnp.sqrt(jnp.maximum(e2, 1e-12)), 1.0
+    )
+    active = prob.edge_valid & depth_ok
+    w = jnp.where(active, w_h * prob.inv_sigma2, 0.0)
+    rho = jnp.where(
+        use_huber & (e2 > delta2),
+        2.0 * delta * jnp.sqrt(jnp.maximum(e2, 1e-12)) - delta2,
+        e2,
+    )
+    return w, e2, jnp.where(active, rho, 0.0)
+
+
+def _pm_onehot(prob: BAProblemPM, K: int):
+    """A [P*D, K] bf16 one-hot of the camera index per edge (exact values,
+    f32 accumulation in the matmuls)."""
+    return jax.nn.one_hot(
+        prob.obs_kf.reshape(-1), K, dtype=jnp.bfloat16
+    )
+
+
+def _pm_mm(A, x):
+    """A^T @ x with f32 accumulation: [E,K]^T [E,c] -> [K,c]."""
+    return jax.lax.dot_general(
+        A, x.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def ba_solve_pm(
+    prob: BAProblemPM,
+    cam: Camera,
+    n_iters_first: int = 5,
+    n_iters_second: int = 10,
+    n_cg: int = 20,
+    axis_name=None,
+) -> "BAResultPM":
+    """Point-major LM/PCG bundle adjustment. With axis_name set inside a
+    shard_map, point rows are sharded (map blocks per device): point-side
+    state stays local, camera-side reductions psum over ICI."""
+    K = prob.poses.shape[0]
+    P, D = prob.obs_kf.shape
+    A = _pm_onehot(prob, K)  # [P*D, K]
+
+    def reduce_(x):
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+    def camera_scatter(contrib):  # [P,D,c] -> [K,c] (+ cross-device)
+        return reduce_(_pm_mm(A, contrib.reshape(P * D, -1)))
+
+    def camera_gather(vc):  # [K,6] -> [P,D,6]
+        out = jax.lax.dot_general(
+            A, vc.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(P, D, 6)
+
+    free = ~prob.pose_fixed
+
+    def lm_phase(poses, points, use_huber, n_iters):
+        def assemble(poses_, points_):
+            r, Jc, Jp, comp, dok = _pm_edge_terms(poses_, points_, prob, cam)
+            w, _, rho = _pm_weights(r, comp, prob, dok, use_huber)
+            W = w[..., None] * comp  # [P,D,3]
+            Wr = W * r
+            gc = camera_scatter(_einsum("pdci,pdc->pdi", Jc, Wr))
+            gp = jnp.sum(_einsum("pdci,pdc->pdi", Jp, Wr), axis=1)  # [P,3]
+            Hcc = camera_scatter(
+                _einsum("pdci,pdc,pdcj->pdij", Jc, W, Jc).reshape(P, D, 36)
+            ).reshape(K, 6, 6)
+            Hpp = jnp.sum(_einsum("pdci,pdc,pdcj->pdij", Jp, W, Jp), axis=1)
+            F = reduce_(jnp.sum(rho))
+            return (r, Jc, Jp, W), gc, gp, Hcc, Hpp, F
+
+        def step(carry, _):
+            poses, points, lam, ni, F = carry
+            (r, Jc, Jp, W), gc, gp, Hcc, Hpp, _ = assemble(poses, points)
+            gc = gc * free[:, None]
+            Mc = jnp.linalg.inv(Hcc + (lam + 1e-6) * jnp.eye(6))
+            Mp = inv3x3(Hpp + (lam + 1e-6) * jnp.eye(3))
+
+            def hv(vc, vp):
+                vc = vc * free[:, None]
+                a = _einsum("pdci,pdi->pdc", Jc, camera_gather(vc)) + _einsum(
+                    "pdci,pi->pdc", Jp, vp
+                )
+                Wa = W * a
+                Hc = camera_scatter(_einsum("pdci,pdc->pdi", Jc, Wa))
+                Hp = jnp.sum(_einsum("pdci,pdc->pdi", Jp, Wa), axis=1)
+                return (Hc + lam * vc) * free[:, None], Hp + lam * vp
+
+            def precond(rc, rp):
+                return (
+                    _einsum("kij,kj->ki", Mc, rc) * free[:, None],
+                    _einsum("pij,pj->pi", Mp, rp),
+                )
+
+            def dot(ac, bc, ap, bp):
+                return jnp.sum(ac * bc) + reduce_(jnp.sum(ap * bp))
+
+            xc = jnp.zeros_like(gc)
+            xp = jnp.zeros_like(gp)
+            rc, rp = gc, gp
+            zc, zp = precond(rc, rp)
+            pc_, pp_ = zc, zp
+            rz = dot(rc, zc, rp, zp)
+
+            def cg(c, _):
+                xc, xp, rc, rp, pc_, pp_, rz = c
+                Apc, App = hv(pc_, pp_)
+                pAp = dot(pc_, Apc, pp_, App)
+                alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+                xc = xc + alpha * pc_
+                xp = xp + alpha * pp_
+                rc = rc - alpha * Apc
+                rp = rp - alpha * App
+                zc, zp = precond(rc, rp)
+                rz2 = dot(rc, zc, rp, zp)
+                beta = rz2 / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+                return (xc, xp, rc, rp, zc + beta * pc_, zp + beta * pp_, rz2), None
+
+            (xc, xp, *_), _ = jax.lax.scan(
+                cg, (xc, xp, rc, rp, pc_, pp_, rz), None, length=n_cg
+            )
+            dxc = -xc * free[:, None]
+            dxp = -xp
+            poses_new = se3.retract(poses, dxc)
+            points_new = points + dxp
+            *_, F_new = assemble(poses_new, points_new)
+            gdot = jnp.sum(dxc * (lam * dxc - gc)) + reduce_(
+                jnp.sum(dxp * (lam * dxp - gp))
+            )
+            rho = (F - F_new) / (gdot + 1e-12)
+            ok = (rho > 0) & jnp.isfinite(F_new)
+            poses = jnp.where(ok, poses_new, poses)
+            points = jnp.where(ok, points_new, points)
+            F = jnp.where(ok, F_new, F)
+            lam = jnp.where(
+                ok, lam * jnp.maximum(1 / 3, 1 - (2 * rho - 1) ** 3), lam * ni
+            )
+            ni = jnp.where(ok, 2.0, ni * 2.0)
+            return (poses, points, lam, ni, F), None
+
+        _, gc0, gp0, Hcc0, Hpp0, F0 = assemble(poses, points)
+        hpp_max = jnp.max(jax.vmap(jnp.diag)(Hpp0))
+        if axis_name is not None:
+            hpp_max = jax.lax.pmax(hpp_max, axis_name)
+        diag_max = jnp.maximum(jnp.max(jax.vmap(jnp.diag)(Hcc0)), hpp_max)
+        lam0 = 1e-5 * diag_max
+        (poses, points, _, _, F), _ = jax.lax.scan(
+            step, (poses, points, lam0, jnp.float32(2.0), F0), None, length=n_iters
+        )
+        return poses, points, F
+
+    def chi2(poses, points):
+        r, _, _, comp, dok = _pm_edge_terms(poses, points, prob, cam)
+        e2 = jnp.sum(r * r * comp, axis=-1) * prob.inv_sigma2
+        return e2, dok
+
+    poses, points = prob.poses, prob.points
+    poses, points, _ = lm_phase(poses, points, jnp.asarray(True), n_iters_first)
+    e2, dok = chi2(poses, points)
+    th = jnp.where(prob.is_stereo, CHI2_STEREO, CHI2_MONO)
+    keep = prob.edge_valid & (e2 <= th) & dok
+    prob = prob._replace(edge_valid=keep)
+    poses, points, F = lm_phase(poses, points, jnp.asarray(True), n_iters_second)
+    e2, dok = chi2(poses, points)
+    inlier = keep & (e2 <= th) & dok
+    return BAResultPM(poses=poses, points=points, edge_inlier=inlier, final_chi2=F)
+
+
+class BAResultPM(NamedTuple):
+    poses: jax.Array
+    points: jax.Array
+    edge_inlier: jax.Array  # [P,D]
+    final_chi2: jax.Array
+
+
+ba_solve_pm_jit = jax.jit(
+    ba_solve_pm, static_argnames=("n_iters_first", "n_iters_second", "n_cg")
+)

@@ -90,3 +90,67 @@ def make_distributed_ba(
         _solve, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
     )
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# point-major distributed BA: map blocks (point rows) partitioned per device
+# ---------------------------------------------------------------------------
+
+
+def pad_points_to_multiple(prob: ba.BAProblemPM, n: int) -> ba.BAProblemPM:
+    """Pad point rows so P divides the mesh size (padded rows invalid)."""
+    P = prob.points.shape[0]
+    pad = (-P) % n
+    if pad == 0:
+        return prob
+    zpad = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+    )
+    return prob._replace(
+        points=zpad(prob.points),
+        obs_kf=zpad(prob.obs_kf),
+        obs=zpad(prob.obs),
+        inv_sigma2=zpad(prob.inv_sigma2),
+        is_stereo=zpad(prob.is_stereo),
+        edge_valid=jnp.concatenate(
+            [prob.edge_valid, jnp.zeros((pad,) + prob.edge_valid.shape[1:], bool)]
+        ),
+    )
+
+
+def make_distributed_ba_pm(
+    mesh: Mesh,
+    cam: Camera,
+    n_iters_first: int = 5,
+    n_iters_second: int = 10,
+    n_cg: int = 20,
+):
+    """Point-major distributed BA: each device owns a block of point rows
+    (its share of the map) and their observations; poses are replicated
+    and the camera-side normal equations psum over ICI — the BASELINE
+    north star's 'keyframe/map-block partitioned global BA'."""
+    pt = P(EDGE_AXIS)
+    rep = P()
+    in_specs = (
+        ba.BAProblemPM(
+            poses=rep, points=pt,
+            obs_kf=pt, obs=pt, inv_sigma2=pt, is_stereo=pt, edge_valid=pt,
+            pose_fixed=rep,
+        ),
+    )
+    out_specs = ba.BAResultPM(
+        poses=rep, points=pt, edge_inlier=pt, final_chi2=rep
+    )
+
+    def _solve(prob):
+        return ba.ba_solve_pm(
+            prob, cam,
+            n_iters_first=n_iters_first,
+            n_iters_second=n_iters_second,
+            n_cg=n_cg,
+            axis_name=EDGE_AXIS,
+        )
+
+    return jax.jit(
+        shard_map(_solve, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )

@@ -119,6 +119,9 @@ class FrameHost:
         self.point_ids = np.full(n, -1, np.int64)  # matched map point per kp
         self.outlier = np.zeros(n, bool)
         self.Tcw: Optional[np.ndarray] = None  # [4,4] float32
+        # localization-only mode: per-kp "visual odometry" 3D points that
+        # are not in the map (reference mlpTemporalPoints, Tracking.cpp:648)
+        self.temp_points = {}
 
     @property
     def n_keypoints(self) -> int:

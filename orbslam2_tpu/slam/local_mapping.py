@@ -21,6 +21,7 @@ import numpy as np
 
 from ..config import SlamConfig
 from ..ops import ba, matchers
+from .ba_assembly import apply_pm_result, assemble_pm_problem
 from .frontend import Frontend
 from .map import SlamMap
 
@@ -56,7 +57,7 @@ class LocalMapper:
                 sf, inv_sig2,
             )
         )
-        self._jit_ba = ba.ba_solve_jit
+        self._jit_ba = ba.ba_solve_pm_jit
 
     # ------------------------------------------------------- tracker API
     def is_stopped(self) -> bool:
@@ -433,75 +434,14 @@ class LocalMapper:
         kf_index = {k: i for i, k in enumerate(all_kfs)}
         pt_index = {p: i for i, p in enumerate(pts)}
 
-        obs_kf, obs_pt, obs, isig, ster = [], [], [], [], []
-        edge_meta: List[Tuple[int, int]] = []  # (pid, kf)
-        for p in pts:
-            for k, idx in self.map.pt_obs[p].items():
-                if k not in kf_index:
-                    continue
-                f = self.map.kf_frame[k]
-                obs_kf.append(kf_index[k])
-                obs_pt.append(pt_index[p])
-                obs.append([f.uv[idx][0], f.uv[idx][1], f.u_right[idx]])
-                isig.append(1.0 / self.frontend.level_sigma2[f.octave[idx]])
-                ster.append(f.u_right[idx] >= 0)
-                edge_meta.append((p, k))
-        if len(obs) < 10 or len(pts) < 3:
-            return
-
-        # pad to pow2 buckets to bound recompilation
-        def pow2(n, lo):
-            import math
-            return 1 << max(int(np.ceil(np.log2(max(n, lo)))), int(np.log2(lo)))
-
-        K = pow2(len(all_kfs), 8)
-        P = pow2(len(pts), 256)
-        E = pow2(len(obs), 1024)
-
-        poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
-        for k, i in kf_index.items():
-            poses[i] = self.map.kf_pose[k]
-        points = np.zeros((P, 3), np.float32)
-        for p, i in pt_index.items():
-            points[i] = self.map.pt_pos[p]
-        fixed_mask = np.ones(K, bool)
-        for k in local_kfs:
-            fixed_mask[kf_index[k]] = k == 0  # KF0 stays fixed (gauge)
-        if all(fixed_mask[kf_index[k]] for k in local_kfs):
-            return
-
-        Epad = E - len(obs)
-        prob = ba.BAProblem(
-            poses=jnp.asarray(poses),
-            points=jnp.asarray(points),
-            obs_kf=jnp.asarray(np.pad(np.array(obs_kf, np.int32), (0, Epad))),
-            obs_pt=jnp.asarray(np.pad(np.array(obs_pt, np.int32), (0, Epad))),
-            obs=jnp.asarray(np.pad(np.array(obs, np.float32), ((0, Epad), (0, 0)))),
-            inv_sigma2=jnp.asarray(np.pad(np.array(isig, np.float32), (0, Epad))),
-            is_stereo=jnp.asarray(np.pad(np.array(ster, bool), (0, Epad))),
-            edge_valid=jnp.asarray(
-                np.pad(np.ones(len(obs), bool), (0, Epad))
-            ),
-            pose_fixed=jnp.asarray(fixed_mask),
+        prob, meta = assemble_pm_problem(
+            self.map, self.frontend, all_kfs, pts, kf_index, pt_index,
+            local_kfs,
         )
+        if prob is None:
+            return
         res = self._jit_ba(prob, self.cam)
-
-        new_poses = np.asarray(res.poses)
-        new_points = np.asarray(res.points)
-        inlier = np.asarray(res.edge_inlier)
-        for k, i in kf_index.items():
-            if not fixed_mask[i]:
-                self.map.kf_pose[k] = new_poses[i]
-        for p, i in pt_index.items():
-            if p in self.map.pt_valid:
-                self.map.pt_pos[p] = new_points[i].astype(np.float64)
-        # erase outlier observations (reference Optimizer.cpp:718-760)
-        for e, (p, k) in enumerate(edge_meta):
-            if not inlier[e] and p in self.map.pt_valid:
-                self.map.erase_observation(p, k)
-        for p in pts:
-            if p in self.map.pt_valid:
-                self.map.update_normal_and_depth(p)
+        apply_pm_result(self.map, res, meta)
 
     # -------------------------------------------------------------------
 

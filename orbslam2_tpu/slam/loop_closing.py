@@ -61,7 +61,7 @@ class LoopCloser:
         self._jit_ransac = jax.jit(
             sim3solve.sim3_ransac, static_argnames=("fix_scale", "n_hyp")
         )
-        self._jit_gba = ba.ba_solve_jit
+        self._jit_gba = ba.ba_solve_pm_jit
 
         # state produced by _detect/_compute for _correct
         self._candidates: List[int] = []
@@ -581,61 +581,15 @@ class LoopCloser:
             return
         kf_index = {k: i for i, k in enumerate(kfs)}
         pt_index = {p: i for i, p in enumerate(pts)}
-        obs_kf, obs_pt, obs, isig, ster = [], [], [], [], []
-        edge_meta = []
-        for p in pts:
-            for k, idx in m.pt_obs[p].items():
-                if k not in kf_index:
-                    continue
-                f = m.kf_frame[k]
-                obs_kf.append(kf_index[k])
-                obs_pt.append(pt_index[p])
-                obs.append([f.uv[idx][0], f.uv[idx][1], f.u_right[idx]])
-                isig.append(1.0 / self.frontend.level_sigma2[f.octave[idx]])
-                ster.append(f.u_right[idx] >= 0)
-                edge_meta.append((p, k))
-        if len(obs) < 20:
-            return
+        from .ba_assembly import apply_pm_result, assemble_pm_problem
 
-        def pow2(n, lo):
-            return 1 << max(int(np.ceil(np.log2(max(n, lo)))), int(np.log2(lo)))
-
-        K = pow2(len(kfs), 8)
-        P = pow2(len(pts), 256)
-        E = pow2(len(obs), 1024)
-        poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
-        for k, i in kf_index.items():
-            poses[i] = m.kf_pose[k]
-        points = np.zeros((P, 3), np.float32)
-        for p, i in pt_index.items():
-            points[i] = m.pt_pos[p]
-        fixed = np.ones(K, bool)
-        for k, i in kf_index.items():
-            fixed[i] = k == 0
-        Epad = E - len(obs)
-        prob = ba.BAProblem(
-            poses=jnp.asarray(poses),
-            points=jnp.asarray(points),
-            obs_kf=jnp.asarray(np.pad(np.array(obs_kf, np.int32), (0, Epad))),
-            obs_pt=jnp.asarray(np.pad(np.array(obs_pt, np.int32), (0, Epad))),
-            obs=jnp.asarray(np.pad(np.array(obs, np.float32), ((0, Epad), (0, 0)))),
-            inv_sigma2=jnp.asarray(np.pad(np.array(isig, np.float32), (0, Epad))),
-            is_stereo=jnp.asarray(np.pad(np.array(ster, bool), (0, Epad))),
-            edge_valid=jnp.asarray(np.pad(np.ones(len(obs), bool), (0, Epad))),
-            pose_fixed=jnp.asarray(fixed),
+        prob, meta = assemble_pm_problem(
+            m, self.frontend, kfs, pts, kf_index, pt_index, kfs
         )
+        if prob is None:
+            return
         res = self._jit_gba(prob, self.frontend.camera, n_iters_first=5,
                             n_iters_second=10)
         # staged write-back (the mTcwGBA two-phase commit collapses to a
         # single phase in the host-sequenced pipeline)
-        new_poses = np.asarray(res.poses)
-        new_points = np.asarray(res.points)
-        for k, i in kf_index.items():
-            if not fixed[i]:
-                m.kf_pose[k] = new_poses[i]
-        for p, i in pt_index.items():
-            if p in m.pt_valid:
-                m.pt_pos[p] = new_points[i].astype(np.float64)
-        for p in pts:
-            if p in m.pt_valid:
-                m.update_normal_and_depth(p)
+        apply_pm_result(m, res, meta)

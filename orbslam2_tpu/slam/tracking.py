@@ -351,6 +351,10 @@ class Tracker:
                 valid[i] = True
             else:
                 frame.point_ids[i] = -1
+        for i, pos in frame.temp_points.items():
+            if not valid[i]:
+                pw[i] = pos
+                valid[i] = True
         if valid.sum() < 3:
             return 0
         obs = np.concatenate([frame.uv, frame.u_right[:, None]], axis=1).astype(np.float32)
@@ -405,6 +409,7 @@ class Tracker:
         has_pt = pids >= 0
         pw = np.zeros((N, 3), np.float64)
         desc = np.zeros((N, 8), np.uint32)
+        is_temp = np.zeros(N, bool)
         for i in np.nonzero(has_pt)[0]:
             pid = int(pids[i])
             if pid in self.map.pt_valid:
@@ -412,6 +417,22 @@ class Tracker:
                 desc[i] = self.map.pt_desc[pid]
             else:
                 has_pt[i] = False
+        if self.only_tracking:
+            # visual-odometry points: unproject close stereo features of the
+            # last frame that have no map point (reference UpdateLastFrame,
+            # Tracking.cpp:648-712 — sorted by depth, close ones first)
+            close = lf.valid & (lf.depth > 0) & ~has_pt
+            order = np.argsort(lf.depth[np.nonzero(close)[0]])
+            idxs = np.nonzero(close)[0][order]
+            n_vo = 0
+            for i in idxs:
+                if lf.depth[i] > self.config.depth_threshold and n_vo > 100:
+                    break
+                pw[i] = self._unproject(lf, int(i))
+                desc[i] = lf.desc[i]
+                has_pt[i] = True
+                is_temp[i] = True
+                n_vo += 1
         Rcw, tcw = frame.Tcw[:3, :3].astype(np.float64), frame.Tcw[:3, 3].astype(np.float64)
         pc = pw @ Rcw.T + tcw
         z = pc[:, 2]
@@ -439,8 +460,14 @@ class Tracker:
         )
         pfk = np.asarray(point_for_kp)
         frame.point_ids[:] = -1
+        frame.temp_points = {}
         hit = pfk >= 0
-        frame.point_ids[hit] = pids[pfk[hit]]
+        for i in np.nonzero(hit)[0]:
+            src = int(pfk[i])
+            if self.only_tracking and is_temp[src]:
+                frame.temp_points[int(i)] = pw[src].copy()
+            else:
+                frame.point_ids[i] = pids[src]
         return int(hit.sum())
 
     def _track_reference_keyframe(self, frame: FrameHost) -> bool:

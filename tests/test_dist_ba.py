@@ -68,3 +68,25 @@ class TestDistributedBA:
         prob_p = dist_ba.pad_edges_to_multiple(prob, mesh.devices.size)
         sharded_obs = jax.device_put(prob_p.obs, mesh_mod.edge_sharded(mesh))
         assert len(sharded_obs.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+class TestDistributedBAPointMajor:
+    def test_pm_sharded_matches_single(self, rng):
+        """Point-major map-block sharding (the north-star decomposition)
+        must agree with the single-device point-major solver."""
+        cam, prob, poses_gt, points_gt, _ = make_bundle(rng, K=6, P=200, noise_px=0.3)
+        pm = ba.coo_to_pm(prob)
+        single = ba.ba_solve_pm_jit(pm, cam)
+        mesh = mesh_mod.make_mesh()
+        pm_p = dist_ba.pad_points_to_multiple(pm, mesh.devices.size)
+        fn = dist_ba.make_distributed_ba_pm(mesh, cam)
+        dist = fn(pm_p)
+        np.testing.assert_allclose(
+            np.asarray(single.poses), np.asarray(dist.poses), atol=5e-4
+        )
+        P = points_gt.shape[0]
+        pt_d = np.linalg.norm(
+            np.asarray(single.points)[:P] - np.asarray(dist.points)[:P], axis=1
+        )
+        assert np.median(pt_d) < 1e-3

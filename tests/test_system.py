@@ -92,9 +92,15 @@ class TestSystem:
         assert sys_.tracker.only_tracking
         n_kf = sys_.map.n_keyframes()
         world = SyntheticWorld(n_points=900, seed=5, baseline=0.2)
-        poses, frames = world.render_sequence(3, step=0.06)
-        for i, (imL, imR) in enumerate(frames):
-            sys_.track_stereo(imL, imR, 100 + i / 20.0)
+        # continue the trajectory past the mapped region: tracking must
+        # survive on map matches + visual-odometry temporal points
+        poses = world.trajectory(34, step=0.06)[25:]
+        ok = 0
+        for i, T in enumerate(poses):
+            imL, imR = world.render_stereo(T)
+            if sys_.track_stereo(imL, imR, 100 + i / 20.0) is not None:
+                ok += 1
+        assert ok >= len(poses) - 1, f"localization mode lost tracking ({ok})"
         assert sys_.map.n_keyframes() == n_kf  # no new keyframes
         sys_.deactivate_localization_mode()
 
