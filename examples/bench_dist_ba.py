@@ -105,20 +105,21 @@ def main():
     n_lm = 15  # 5 + 10 schedule
     print(f"bundle: K={K} P={P} E={E} | devices available: {len(jax.devices())}")
 
+    pm = ba.coo_to_pm(prob, max_obs=args.obs_per_point + 1)
     results = {}
     sizes = [s for s in (1, 2, 4, args.devices) if s <= len(jax.devices())]
     for n in sorted(set(sizes)):
         mesh = Mesh(np.array(jax.devices()[:n]), (EDGE_AXIS,))
-        prob_n = dist_ba.pad_edges_to_multiple(prob, n)
-        fn = dist_ba.make_distributed_ba(mesh, cam)
+        pm_n = dist_ba.pad_points_to_multiple(pm, n)
+        fn = dist_ba.make_distributed_ba_pm(mesh, cam)
         t0 = time.time()
-        out = jax.block_until_ready(fn(prob_n))
+        out = fn(pm_n)
+        chi = float(out.final_chi2)  # value fetch = true sync
         compile_s = time.time() - t0
         t0 = time.time()
-        out = jax.block_until_ready(fn(prob_n))
+        chi = float(fn(pm_n).final_chi2)
         dt = time.time() - t0
         results[n] = dt
-        chi = float(out.final_chi2)
         print(
             f"  mesh={n}: {dt*1e3:.0f}ms total, {dt/n_lm*1e3:.1f}ms/LM-iter "
             f"(compile {compile_s:.0f}s, chi2 {chi:.3e})"
@@ -127,6 +128,12 @@ def main():
         n_max = max(results)
         eff = results[1] / (results[n_max] * n_max)
         print(f"scaling efficiency at {n_max} devices: {eff*100:.0f}%")
+        if not args.tpu:
+            print(
+                "NOTE: virtual CPU-mesh devices share the same host cores, so"
+                " this efficiency number measures collective overhead only —"
+                " real scaling requires a pod slice (run with --tpu there)."
+            )
 
 
 if __name__ == "__main__":

@@ -27,7 +27,18 @@ from .map import SlamMap
 
 
 class LocalMapper:
-    def __init__(self, config: SlamConfig, frontend: Frontend, slam_map: SlamMap):
+    def __init__(
+        self,
+        config: SlamConfig,
+        frontend: Frontend,
+        slam_map: SlamMap,
+        deferred: bool = False,
+    ):
+        #: deferred=True approximates the reference's pipeline parallelism
+        #: (P1): keyframes queue and are processed one per tracker step via
+        #: pump(), spreading mapping cost across frames instead of spiking
+        #: on keyframe insertion.
+        self.deferred = deferred
         self.config = config
         self.frontend = frontend
         self.map = slam_map
@@ -83,13 +94,20 @@ class LocalMapper:
     def insert_keyframe(self, kf: int):
         """Synchronous equivalent of the mapping thread loop body
         (reference LocalMapping::Run, LocalMapping.cpp:22-107)."""
-        if self._stopped:
-            self._queue.append(kf)
-            return
         self._queue.append(kf)
+        if self._stopped or self.deferred:
+            return
         while self._queue:
             k = self._queue.pop(0)
             self._process(k)
+
+    def pump(self):
+        """Deferred mode: process one queued keyframe (called once per
+        tracked frame — the host-side analog of the mapping thread getting
+        a time slice between frames)."""
+        if self._stopped or not self._queue:
+            return
+        self._process(self._queue.pop(0))
 
     def _span(self, name):
         return self.timers.span(name) if self.timers else contextlib.nullcontext()

@@ -71,6 +71,7 @@ class SlamMap:
 
         self.keyframe_origins: List[int] = []
         self.big_change_idx = 0
+        self.on_keyframe_removed = None  # callback(kf) — database erase hook
 
     # ------------------------------------------------------------------
     # keyframes
@@ -307,6 +308,8 @@ class SlamMap:
         # store relative pose for offline-trajectory recovery (System.cpp:342)
         self.Tcp[kf] = self.kf_pose[kf] @ np.linalg.inv(self.kf_pose[parent])
         self.kf_valid.discard(kf)
+        if self.on_keyframe_removed is not None:
+            self.on_keyframe_removed(kf)
 
     # ------------------------------------------------------------------
     # bulk views for device kernels

@@ -44,6 +44,7 @@ class System:
         sensor: str = Sensor.STEREO,
         use_viewer: bool = False,
         enable_loop_closing: bool = True,
+        deferred_mapping: bool = False,
     ):
         self.sensor = sensor
         self.config = settings if isinstance(settings, SlamConfig) else load_config(settings)
@@ -66,7 +67,9 @@ class System:
             self.config.orb.scale_factor,
         )
         self.tracker = Tracker(self.config, self.frontend, self.map)
-        self.local_mapper = LocalMapper(self.config, self.frontend, self.map)
+        self.local_mapper = LocalMapper(
+            self.config, self.frontend, self.map, deferred=deferred_mapping
+        )
         self.tracker.local_mapper = self.local_mapper
 
         self.relocalizer = None
@@ -76,6 +79,7 @@ class System:
                 self.config, self.frontend, self.map, self.vocabulary
             )
             self.tracker.relocalizer = self.relocalizer
+            self.map.on_keyframe_removed = self.relocalizer.remove_keyframe
             if enable_loop_closing:
                 self.loop_closer = LoopCloser(
                     self.config, self.frontend, self.map, self.relocalizer,

@@ -133,6 +133,8 @@ class Tracker:
 
         ok = False
         if self.state == TrackingState.OK:
+            if self.local_mapper is not None and getattr(self.local_mapper, "deferred", False):
+                self.local_mapper.pump()
             self._check_replaced_in_last_frame()
             with self._span("Pose prediction"):
                 if self.velocity is None or frame.frame_id < self.last_reloc_frame_id + 2:

@@ -66,3 +66,29 @@ class TestLocalMapping:
                 continue
             assert m.covis.get(kf), f"kf {kf} isolated in covisibility graph"
             assert kf in m.parent, f"kf {kf} missing spanning-tree parent"
+
+
+class TestDeferredMapping:
+    def test_pipeline_mode_tracks(self):
+        """Deferred (pipelined) mapping — one queued keyframe processed per
+        tracked frame, the host analog of the reference's mapping thread."""
+        world = SyntheticWorld(n_points=900, seed=17, baseline=0.2)
+        cfg = SlamConfig(
+            camera=CameraConfig(
+                fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+                bf=world.bf, width=world.width, height=world.height, fps=20.0,
+            ),
+            orb=OrbConfig(n_features=1000),
+        )
+        frontend = Frontend(cfg)
+        m = SlamMap(cfg.orb.n_features)
+        tracker = Tracker(cfg, frontend, m)
+        tracker.local_mapper = LocalMapper(cfg, frontend, m, deferred=True)
+        poses, frames = world.render_sequence(30, step=0.06)
+        est = [tracker.track(imL, imR, i / 20.0) for i, (imL, imR) in enumerate(frames)]
+        assert sum(e is not None for e in est) == 30
+        assert tracker.local_mapper.n_processed >= 2
+        pairs = [(g, e) for g, e in zip(poses, est) if e is not None]
+        gt = np.stack([-T[:3, :3].T @ T[:3, 3] for T, _ in pairs])
+        es = np.stack([-T[:3, :3].T @ T[:3, 3] for _, T in pairs])
+        assert ate_rmse(es, gt) < 0.08
