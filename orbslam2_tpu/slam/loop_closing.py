@@ -220,12 +220,51 @@ class LoopCloser:
             if int(res.n_inliers) < 20:
                 continue
 
+            # guided Sim3 matching (reference SearchBySim3, ORBmatcher.cpp:
+            # 948-1171): project each keyframe's points into the other under
+            # the RANSAC Sim3, keep mutually-agreeing new pairs, and extend
+            # the correspondence set before the refinement.
+            extra = self._search_by_sim3(kf, cand, res.S12)
+            if extra:
+                add_rows = []
+                for i1, pid2 in extra.items():
+                    if i1 in matches or pid2 not in self.map.pt_valid:
+                        continue
+                    pid1 = int(p1[i1])
+                    if pid1 < 0 or pid1 not in self.map.pt_valid:
+                        continue
+                    i2 = self.map.pt_obs[pid2].get(cand)
+                    if i2 is None:
+                        continue
+                    w1 = self.map.pt_pos[pid1]
+                    w2 = self.map.pt_pos[pid2]
+                    add_rows.append((
+                        T1[:3, :3] @ w1 + T1[:3, 3], T2[:3, :3] @ w2 + T2[:3, 3],
+                        f1.uv[i1], f2.uv[i2],
+                        9.21 * sigma2[f1.octave[i1]], 9.21 * sigma2[f2.octave[i2]],
+                    ))
+                if add_rows:
+                    X1 = np.concatenate([X1, np.stack([r[0] for r in add_rows]).astype(np.float32)])
+                    X2 = np.concatenate([X2, np.stack([r[1] for r in add_rows]).astype(np.float32)])
+                    uv1 = np.concatenate([uv1, np.stack([r[2] for r in add_rows]).astype(np.float32)])
+                    uv2 = np.concatenate([uv2, np.stack([r[3] for r in add_rows]).astype(np.float32)])
+                    me1 = np.concatenate([me1, np.array([r[4] for r in add_rows], np.float32)])
+                    me2 = np.concatenate([me2, np.array([r[5] for r in add_rows], np.float32)])
+                    valid = np.concatenate([valid, np.ones(len(add_rows), bool)])
+                    inl_pad = np.concatenate(
+                        [np.asarray(res.inliers), np.ones(len(add_rows), bool)]
+                    )
+                else:
+                    inl_pad = np.asarray(res.inliers)
+            else:
+                inl_pad = np.asarray(res.inliers)
+
             S12, inl, n_inl = sim3solve.optimize_sim3(
                 res.S12, jnp.asarray(X1), jnp.asarray(X2),
                 jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(1.0 / sigma2[f1.octave[[int(i) for i in idxs]]], jnp.float32),
-                jnp.ones(N, jnp.float32),
-                jnp.asarray(valid & np.asarray(res.inliers)),
+                jnp.asarray(np.where(me1 > 0, 9.21 / me1, 1.0).astype(np.float32)),
+                jnp.ones(len(valid), jnp.float32),
+                jnp.asarray(valid & inl_pad),
                 self.frontend.camera,
                 fix_scale=self.fix_scale,
             )
@@ -262,6 +301,50 @@ class LoopCloser:
                     self._matched_points.setdefault(i, pid)
                 return True
         return False
+
+    def _search_by_sim3(self, kf1: int, kf2: int, S12) -> Dict[int, int]:
+        """Mutual Sim3 projection matching between two keyframes' map
+        points (reference ORBmatcher::SearchBySim3): kf2's points project
+        into kf1 under S12 and vice versa; keep pairs both directions
+        agree on. Returns kf1 feature idx -> kf2 point id."""
+        m = self.map
+        T1 = m.kf_pose[kf1].astype(np.float64)
+        T2 = m.kf_pose[kf2].astype(np.float64)
+        R12, t12, s12 = _np_sim3(S12)
+        # S1w = S12 ∘ S2w ; S2w' = S12^-1 ∘ S1w
+        S1w = (R12 @ T2[:3, :3], s12 * (R12 @ T2[:3, 3]) + t12, s12)
+        R21 = R12.T
+        s21 = 1.0 / s12
+        S2w = (R21 @ T1[:3, :3], s21 * (R21 @ (T1[:3, 3] - t12)), s21)
+
+        def project_points(kf_target, Sxw, pids):
+            S = sim3_mod.Sim3(
+                R=jnp.asarray(Sxw[0].astype(np.float32)),
+                t=jnp.asarray(Sxw[1].astype(np.float32)),
+                s=jnp.asarray(np.float32(Sxw[2])),
+            )
+            return self._search_by_sim3_projection(kf_target, S, pids, th=7.5)
+
+        pids2 = [int(p) for p in m.kf_point[kf2] if p >= 0 and p in m.pt_valid]
+        pids1 = [int(p) for p in m.kf_point[kf1] if p >= 0 and p in m.pt_valid]
+        if not pids1 or not pids2:
+            return {}
+        m12 = project_points(kf1, S1w, pids2)  # kf1 feat -> kf2 pid
+        m21 = project_points(kf2, S2w, pids1)  # kf2 feat -> kf1 pid
+        # mutual agreement: kf1 feat i (point pid1) matched to pid2 whose
+        # kf2 feature matched back to pid1
+        out = {}
+        kf1_pts = m.kf_point[kf1]
+        for i1, pid2 in m12.items():
+            pid1 = int(kf1_pts[i1]) if i1 < len(kf1_pts) else -1
+            if pid1 < 0:
+                continue
+            i2 = m.pt_obs.get(pid2, {}).get(kf2)
+            if i2 is None:
+                continue
+            if m21.get(int(i2)) == pid1:
+                out[int(i1)] = int(pid2)
+        return out
 
     def _search_by_sim3_projection(
         self, kf: int, Scw: sim3_mod.Sim3, pids: List[int], th: float
@@ -436,6 +519,7 @@ class LoopCloser:
             self.local_mapper.release()
         self.last_loop_kf = kf
         self.n_loops_closed += 1
+        m.big_change_idx += 1  # MapChanged() signal (reference Map.cpp:42-52)
 
     # ------------------------------------------------------------------
 
