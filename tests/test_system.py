@@ -108,3 +108,18 @@ class TestSystem:
         sys_, _ = system_run
         report = sys_.shutdown()
         assert "Total tracking" in report
+
+
+class TestViewer:
+    def test_map_snapshot_and_frame_drawing(self, system_run, tmp_path):
+        from orbslam2_tpu.slam.viewer import Viewer
+
+        sys_, _ = system_run
+        v = Viewer(sys_)
+        p = str(tmp_path / "map.png")
+        v.save(p)
+        assert os.path.getsize(p) > 5000
+        img = v.draw_frame()
+        assert img is not None and img.shape[2] == 3
+        # tracked features are marked in green
+        assert (img[..., 1] == 255).sum() > 50
