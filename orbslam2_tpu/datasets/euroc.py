@@ -10,7 +10,7 @@ downstream is the device pipeline.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

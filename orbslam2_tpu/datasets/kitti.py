@@ -4,8 +4,6 @@ pre-rectified grayscale pairs in image_0/ image_1/ + times.txt."""
 from __future__ import annotations
 
 import os
-from typing import List
-
 import numpy as np
 
 

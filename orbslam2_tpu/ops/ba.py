@@ -22,7 +22,7 @@ chi2 5.991/7.815, 10 more iters) is reproduced in `ba_solve`.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ VPU work per frame — far below TPU roofline, and free of host loops.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -14,8 +14,6 @@ which the VPU handles natively.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -15,12 +15,9 @@ bandwidth/FLOP tradeoff met once E/n >> K+P).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..geometry.camera import Camera

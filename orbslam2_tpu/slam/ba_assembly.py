@@ -7,7 +7,7 @@ rows, padded to power-of-two buckets so jit recompiles stay bounded.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np

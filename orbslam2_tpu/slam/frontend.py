@@ -9,7 +9,6 @@ masked candidate search, which on TPU is cheaper than bucketing.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 

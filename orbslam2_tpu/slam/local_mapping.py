@@ -13,7 +13,7 @@ host flags since stages run interleaved on one queue.
 from __future__ import annotations
 
 import contextlib
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

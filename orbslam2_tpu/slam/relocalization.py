@@ -9,8 +9,6 @@ accept at >=50 inliers.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

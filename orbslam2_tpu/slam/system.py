@@ -12,9 +12,6 @@ the device owns every numeric kernel.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
-import numpy as np
 
 from ..config import SlamConfig, load_config
 from ..vocab import bow as bow_mod

@@ -14,8 +14,6 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import OrderedDict
-from typing import Dict, List
-
 # The reference's 20 stage names (tracking 7, local mapping 6, loop 7)
 TRACKING_STAGES = (
     "ORB extraction",

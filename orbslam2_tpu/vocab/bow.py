@@ -18,8 +18,7 @@ s(v, w) = 1 - 0.5*|v - w|_1 on L1-normalized vectors.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
