@@ -40,20 +40,24 @@ def fast_score(img: jax.Array) -> jax.Array:
         for (dx, dy) in CIRCLE
     ]
 
-    score = jnp.zeros_like(img)
     # For each of the 16 arcs of length 9:
     #   bright corner at t  iff min_{k in arc} d_k > t   → candidate score = arc min
     #   dark corner at t    iff max_{k in arc} d_k < -t  → candidate score = -arc max
-    # Total score = max over arcs of both candidates.
-    for start in range(16):
-        arc = [ds[(start + j) % 16] for j in range(ARC_LEN)]
-        arc_min = arc[0]
-        arc_max = arc[0]
-        for a in arc[1:]:
-            arc_min = jnp.minimum(arc_min, a)
-            arc_max = jnp.maximum(arc_max, a)
-        score = jnp.maximum(score, arc_min)
-        score = jnp.maximum(score, -arc_max)
+    # Total score = max over arcs of both candidates. The 16 circular
+    # window-of-9 mins/maxes are built by log-doubling (9 = 8 + 1), which
+    # halves the dense VPU passes vs. naive per-arc reduction.
+    def win9(vals, op):
+        w2 = [op(vals[k], vals[(k + 1) % 16]) for k in range(16)]
+        w4 = [op(w2[k], w2[(k + 2) % 16]) for k in range(16)]
+        w8 = [op(w4[k], w4[(k + 4) % 16]) for k in range(16)]
+        return [op(w8[k], vals[(k + 8) % 16]) for k in range(16)]
+
+    mins = win9(ds, jnp.minimum)
+    maxs = win9(ds, jnp.maximum)
+    score = jnp.zeros_like(img)
+    for k in range(16):
+        score = jnp.maximum(score, mins[k])
+        score = jnp.maximum(score, -maxs[k])
     return jnp.maximum(score, 0.0)
 
 

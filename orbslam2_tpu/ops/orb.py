@@ -15,6 +15,10 @@ Deviations from the reference (documented, behavior-equivalent):
     reduction instead of a data-dependent tree walk.
   * NMS is global per level instead of per 30px detection cell, and
     angles are radians internally.
+  * The rBRIEF rotation is quantized to N_ANGLE_BINS=32 discrete angles
+    (as in the original ORB paper's 2π/30 lookup tables) so the pattern
+    sample indices are static per bin — see _features_from_patches. The
+    reference rotates exactly per keypoint.
 
 The BRIEF sampling pattern is the standard 256x4 learned ORB pattern
 (public constant from OpenCV, shipped as orb_pattern.npy data).
@@ -176,34 +180,6 @@ def gauss7(img: jax.Array) -> jax.Array:
 _BIT_W = (np.uint32(1) << np.arange(32, dtype=np.uint32)).astype(np.uint32)
 
 
-def _brief_single(
-    img_blur_pad: jax.Array, xs: jax.Array, ys: jax.Array, angles: jax.Array
-) -> jax.Array:
-    """256-bit descriptors for one image: [K, 8] uint32.
-
-    Rotation convention matches the reference computeOrbDescriptor
-    (src/ORBextractor.cpp:45-84): sample offset (x_p, y_p) maps to
-    row = x_p*sin + y_p*cos, col = x_p*cos - y_p*sin.
-    """
-    pat = jnp.asarray(_PATTERN, jnp.float32)  # [256,4]
-    a = jnp.cos(angles)[:, None]  # [K,1]
-    b = jnp.sin(angles)[:, None]
-    px = jnp.concatenate([pat[:, 0], pat[:, 2]])  # [512] point1 then point2
-    py = jnp.concatenate([pat[:, 1], pat[:, 3]])
-    cols = jnp.round(px[None, :] * a - py[None, :] * b).astype(jnp.int32)
-    rows = jnp.round(px[None, :] * b + py[None, :] * a).astype(jnp.int32)
-    r = ys[:, None] + rows + EDGE
-    c = xs[:, None] + cols + EDGE
-    vals = img_blur_pad[r, c]  # [K, 512]
-    t0 = vals[:, :256]
-    t1 = vals[:, 256:]
-    bits = (t0 < t1).astype(jnp.uint32)  # [K,256]
-    words = jnp.sum(
-        bits.reshape(-1, 8, 32) * jnp.asarray(_BIT_W)[None, None, :], axis=-1
-    )
-    return words.astype(jnp.uint32)
-
-
 # ---------------------------------------------------------------------------
 # keypoint selection: threshold fallback per 30px cell + grid balancing
 # ---------------------------------------------------------------------------
@@ -333,10 +309,45 @@ def _patch_weights():
 _WX48, _WY48 = _patch_weights()
 
 
+N_ANGLE_BINS = 32  # rBRIEF rotation quantization (original ORB used 2π/30)
+
+
+def _bin_flat_indices() -> np.ndarray:
+    """Static rotated-pattern sample indices per angle bin: [NB, 512] into
+    the flattened 42x42 blurred patch. The original ORB paper precomputes
+    exactly this lookup table at 12° steps; we use 2π/32. Rotation
+    convention matches the reference computeOrbDescriptor
+    (reference src/ORBextractor.cpp:45-84)."""
+    px = np.concatenate([_PATTERN[:, 0], _PATTERN[:, 2]]).astype(np.float64)
+    py = np.concatenate([_PATTERN[:, 1], _PATTERN[:, 3]]).astype(np.float64)
+    out = np.zeros((N_ANGLE_BINS, 512), np.int32)
+    for i in range(N_ANGLE_BINS):
+        th = 2 * np.pi * i / N_ANGLE_BINS
+        a, b = np.cos(th), np.sin(th)
+        cols = np.round(px * a - py * b).astype(np.int32)
+        rows = np.round(px * b + py * a).astype(np.int32)
+        out[i] = (rows + _BLUR_C) * 42 + (cols + _BLUR_C)
+    return out
+
+
+_BIN_FLAT = _bin_flat_indices()
+
+
 def _features_from_patches(P: jax.Array):
     """P [K,48,48] raw patches (keypoint at (_PATCH_C, _PATCH_C)) ->
-    (angle [K], desc [K,8] uint32). All gathers stay on the 42x42=1764
-    patch domain, which the VPU handles natively."""
+    (angle [K], desc [K,8] uint32).
+
+    The rBRIEF rotation is quantized to N_ANGLE_BINS discrete angles so
+    the pattern sample positions become STATIC per bin: each bin is one
+    static column permutation of the flattened patch (compiles to cheap
+    vector selects) followed by a per-keypoint bin select. A per-keypoint
+    dynamic gather here lowered to serialized slices on TPU and dominated
+    the whole front-end. The original ORB paper (Rublee et al. 2011)
+    quantizes rotations the same way (2π/30 lookup tables); the reference
+    C++ uses exact per-keypoint rotation (src/ORBextractor.cpp:45-84) —
+    documented deviation, validated by end-to-end ATE parity. The
+    reported angle stays exact (used by rotation-consistency histograms).
+    """
     m10 = jnp.einsum("kij,ij->k", P, jnp.asarray(_WX48))
     m01 = jnp.einsum("kij,ij->k", P, jnp.asarray(_WY48))
     ang = jnp.arctan2(m01, m10)
@@ -348,16 +359,16 @@ def _features_from_patches(P: jax.Array):
     blur = jnp.zeros(P.shape[:1] + (42, 42), P.dtype)
     for k in range(7):
         blur = blur + _G7[k] * row[:, k : k + 42, :]
+    bf = blur.reshape(P.shape[0], -1)  # [K,1764]
 
-    pat = jnp.asarray(_PATTERN, jnp.float32)
-    a = jnp.cos(ang)[:, None]
-    b = jnp.sin(ang)[:, None]
-    px = jnp.concatenate([pat[:, 0], pat[:, 2]])
-    py = jnp.concatenate([pat[:, 1], pat[:, 3]])
-    cols = jnp.round(px[None, :] * a - py[None, :] * b).astype(jnp.int32)
-    rows = jnp.round(px[None, :] * b + py[None, :] * a).astype(jnp.int32)
-    flat = (rows + _BLUR_C) * 42 + (cols + _BLUR_C)  # [K,512]
-    vals = jnp.take_along_axis(blur.reshape(P.shape[0], -1), flat, axis=1)
+    bins = (
+        jnp.round(ang * (N_ANGLE_BINS / (2.0 * np.pi)))
+        .astype(jnp.int32) % N_ANGLE_BINS
+    )
+    vals = jnp.zeros((P.shape[0], 512), bf.dtype)
+    for a_i in range(N_ANGLE_BINS):
+        vals_a = bf[:, jnp.asarray(_BIN_FLAT[a_i])]  # static gather
+        vals = jnp.where((bins == a_i)[:, None], vals_a, vals)
     t0 = vals[:, :256]
     t1 = vals[:, 256:]
     bits = (t0 < t1).astype(jnp.uint32)

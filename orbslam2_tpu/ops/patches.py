@@ -90,11 +90,26 @@ def extract_patches(img_pad: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Arr
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() != "tpu",
     )(xs, ys, img_pad)[:K]
-    # undo the tile alignment: per-patch (row, col) shift by the residues
-    # (gather domains 56 and 256 — VPU-cheap, unlike full-image gathers)
+    # Undo the tile alignment: per-patch (row, col) shift by the residues.
+    # Expressed as batched one-hot matmuls (selection matrices built from
+    # iota compares) so the shift runs on the MXU — XLA lowers per-row
+    # dynamic gathers on TPU to serialized slices, which profiled ~10x
+    # slower than this. precision='highest' keeps the selection exact
+    # (one nonzero per output; no bf16 rounding of pixel values).
     dy = (ys[:K] % 8).astype(jnp.int32)
     dx = (xs[:K] % 128).astype(jnp.int32)
-    rows = dy[:, None] + jnp.arange(PATCH, dtype=jnp.int32)[None, :]  # [K,48]
-    shifted = jnp.take_along_axis(raw, rows[:, :, None], axis=1)  # [K,48,256]
-    cols = dx[:, None] + jnp.arange(PATCH, dtype=jnp.int32)[None, :]
-    return jnp.take_along_axis(shifted, cols[:, None, :], axis=2)
+    i48 = jnp.arange(PATCH, dtype=jnp.int32)
+    rows_oh = (
+        dy[:, None, None] + i48[None, :, None]
+        == jnp.arange(PATCH_H, dtype=jnp.int32)[None, None, :]
+    ).astype(raw.dtype)  # [K,48,PATCH_H]
+    shifted = jnp.einsum(
+        "kru,kuc->krc", rows_oh, raw, precision=jax.lax.Precision.HIGHEST
+    )  # [K,48,PATCH_W]
+    cols_oh = (
+        dx[:, None, None] + i48[None, None, :]
+        == jnp.arange(PATCH_W, dtype=jnp.int32)[None, :, None]
+    ).astype(raw.dtype)  # [K,PATCH_W,48]
+    return jnp.einsum(
+        "krc,kcj->krj", shifted, cols_oh, precision=jax.lax.Precision.HIGHEST
+    )
