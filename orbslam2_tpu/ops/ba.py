@@ -392,8 +392,18 @@ def coo_to_pm(prob: BAProblem, max_obs: int = 16) -> BAProblemPM:
 def _pm_edge_terms(poses, points, prob: BAProblemPM, cam: Camera):
     """Like _edge_terms on the [P,D] layout: r [P,D,3], Jc [P,D,3,6],
     Jp [P,D,3,3], comp [P,D,3], depth_ok [P,D]."""
-    T = poses[prob.obs_kf]  # [P,D,4,4]
-    pw = points[:, None, :]  # broadcast within the row
+    # Per-edge pose fetch as a one-hot matmul on the MXU: XLA lowers the
+    # row gather poses[obs_kf] to serialized dynamic slices on TPU
+    # (~2x slower at merged-map scale). precision='highest' keeps the
+    # selected pose entries exact (geometry invariant).
+    P, D = prob.obs_kf.shape
+    K = poses.shape[0]
+    oh = jax.nn.one_hot(prob.obs_kf.reshape(-1), K, dtype=poses.dtype)
+    T = jax.lax.dot_general(
+        oh, poses.reshape(K, 16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(P, D, 4, 4)
     R = T[..., :3, :3]
     pc = _einsum("pdij,pj->pdi", R, points) + T[..., :3, 3]
     x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
