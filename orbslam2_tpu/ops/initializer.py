@@ -267,13 +267,13 @@ def initialize_two_view(
     _, idx = jax.lax.top_k(g, 8)
 
     def one_h(ix):
-        w = jnp.zeros(N).at[ix].set(1.0) * valid
+        w = jnp.any(jnp.arange(N)[None, :] == ix[:, None], axis=0).astype(jnp.float32) * valid  # one-hot union; scatters serialize on TPU
         H = _solve_h(uv1, uv2, w)
         s, ok = _score_h(H, uv1, uv2, valid)
         return H, s, ok
 
     def one_f(ix):
-        w = jnp.zeros(N).at[ix].set(1.0) * valid
+        w = jnp.any(jnp.arange(N)[None, :] == ix[:, None], axis=0).astype(jnp.float32) * valid  # one-hot union; scatters serialize on TPU
         F = _solve_f(uv1, uv2, w)
         s, ok = _score_f(F, uv1, uv2, valid)
         return F, s, ok

@@ -22,6 +22,48 @@ TWO_PI = 6.283185307179586
 
 
 # ---------------------------------------------------------------------------
+# scatter/gather-free building blocks. XLA lowers per-row dynamic gathers
+# and scatters on TPU to serialized slices (profiled ~0.5 us/row); at
+# N ~ 1200 rows that dwarfs the dense [N, M] math these matchers do. Every
+# per-match fetch/collision-resolve below is therefore expressed as a
+# one-hot masked reduction, which fuses into the existing dense passes.
+# ---------------------------------------------------------------------------
+
+
+def _choice_matrix(best_idx: jax.Array, n: int) -> jax.Array:
+    """[S, n] bool: row s selects column best_idx[s] (exactly one True)."""
+    return best_idx[:, None] == jnp.arange(n, dtype=best_idx.dtype)[None, :]
+
+
+def _fetch(choice: jax.Array, values: jax.Array) -> jax.Array:
+    """values[best_idx] without a dynamic gather: one-hot masked sum."""
+    zero = jnp.zeros((), values.dtype)
+    return jnp.sum(jnp.where(choice, values[None, :], zero), axis=1)
+
+
+def _resolve_collisions(best_idx: jax.Array, d_eff: jax.Array, n: int):
+    """Many sources chose target best_idx[s] with score d_eff[s] (INF =
+    no claim); keep the best claim per target. Returns (src_for_target
+    [n] int32, -1 where unclaimed; best_d [n]). Replaces the reference's
+    sequential overwrite-if-better loop and the scatter-min formulation."""
+    INF = hamming.MAX_DIST
+    C = _choice_matrix(best_idx, n)
+    dmat = jnp.where(C, d_eff[:, None], INF)  # [S, n]
+    best_d = jnp.min(dmat, axis=0)
+    src = jnp.argmin(dmat, axis=0).astype(jnp.int32)
+    return jnp.where(best_d < INF, src, -1), best_d
+
+
+def lookup_level(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table[idx] for a small per-octave table (len = n_levels) as a
+    select chain instead of a gather."""
+    out = jnp.full(idx.shape, table[0], table.dtype)
+    for k in range(1, table.shape[0]):
+        out = jnp.where(idx == k, table[k], out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # rotation consistency (reference ComputeThreeMaxima, ORBmatcher.cpp:1446-1487)
 # ---------------------------------------------------------------------------
 
@@ -39,8 +81,11 @@ def rotation_consistency_mask(
     rot = jnp.mod(angle_a - angle_b, TWO_PI)
     binf = jnp.round(rot * (HISTO_BINS / TWO_PI))
     bins = jnp.mod(binf.astype(jnp.int32), HISTO_BINS)
-    hist = jnp.zeros((HISTO_BINS,), jnp.int32).at[bins].add(
-        match_valid.astype(jnp.int32)
+    hist = jnp.sum(
+        (bins[:, None] == jnp.arange(HISTO_BINS)[None, :])
+        & match_valid[:, None],
+        axis=0,
+        dtype=jnp.int32,
     )
     top_v, top_i = jax.lax.top_k(hist, 3)
     keep1 = top_i[0]
@@ -88,7 +133,7 @@ def stereo_match(
 
     vL = uvL[:, 1][:, None]
     vR = uvR[:, 1][None, :]
-    band = jnp.abs(vR - vL) <= 2.0 * scale_factors[octL][:, None]
+    band = jnp.abs(vR - vL) <= 2.0 * lookup_level(scale_factors, octL)[:, None]
 
     octave_ok = jnp.abs(octR[None, :] - octL[:, None]) <= 1
 
@@ -99,7 +144,7 @@ def stereo_match(
     mask = band & octave_ok & disp_ok & validL[:, None] & validR[None, :]
     best_idx, best_dist = hamming.masked_argmin(dist, mask)
 
-    u_right = uvR[best_idx, 0]
+    u_right = _fetch(_choice_matrix(best_idx, uvR.shape[0]), uvR[:, 0])
     disparity = uvL[:, 0] - u_right
     matched = (best_dist < th_orb) & (disparity >= 0.0) & (disparity < max_d)
     # clamp near-zero disparity exactly like the reference (Frame.cpp:652-656)
@@ -151,7 +196,7 @@ def search_by_projection_frame(
     ([-1 if none]) — mirroring how the reference writes matches into
     mCurrentFrame.mvpMapPoints — plus the match distance.
     """
-    radius = th * scale_factors[oct_last]  # [M]
+    radius = th * lookup_level(scale_factors, oct_last)  # [M]
 
     du = uv_cur[:, 0][None, :] - uv_proj[:, 0][:, None]  # [M,N]
     dv = uv_cur[:, 1][None, :] - uv_proj[:, 1][:, None]
@@ -174,22 +219,16 @@ def search_by_projection_frame(
     best_idx, best_dist = hamming.masked_argmin(dist, mask)  # per point: [M]
     ok = best_dist <= hamming.TH_HIGH
 
+    N = uv_cur.shape[0]
+    choice = _choice_matrix(best_idx, N)
     if check_rotation:
         ok = rotation_consistency_mask(
-            angle_last, angle_cur[best_idx], ok
+            angle_last, _fetch(choice, angle_cur), ok
         )
 
-    # Scatter: current keypoint -> point index; resolve collisions by distance.
-    N = uv_cur.shape[0]
-    M = uv_proj.shape[0]
-    INF = hamming.MAX_DIST
-    d_eff = jnp.where(ok, best_dist, INF)
-    # min distance per current keypoint
-    per_kp_best = jnp.full((N,), INF, jnp.int32).at[best_idx].min(d_eff)
-    win = ok & (d_eff == per_kp_best[best_idx])
-    point_for_kp = jnp.full((N,), -1, jnp.int32).at[
-        jnp.where(win, best_idx, N)  # out-of-range drops via mode="drop"
-    ].set(jnp.where(win, jnp.arange(M, dtype=jnp.int32), -1), mode="drop")
+    # current keypoint -> point index; resolve collisions by distance
+    d_eff = jnp.where(ok, best_dist, hamming.MAX_DIST)
+    point_for_kp, per_kp_best = _resolve_collisions(best_idx, d_eff, N)
     return point_for_kp, per_kp_best
 
 
@@ -231,27 +270,32 @@ def epipolar_match(
     num = a * uv2[None, :, 0] + b * uv2[None, :, 1] + c  # broadcasting [N,M]
     den = a * a + b * b
     dsq = num * num / jnp.where(den < 1e-12, 1e-12, den)
-    epi_ok = dsq < 3.84 * level_sigma2[oct2][None, :]
+    epi_ok = dsq < 3.84 * lookup_level(level_sigma2, oct2)[None, :]
 
     de = uv2 - epipole2[None, :]
     epipole_dist2 = jnp.sum(de * de, axis=-1)  # [M]
     both_mono = (~stereo1[:, None]) & (~stereo2[None, :])
     epipole_ok = jnp.where(
-        both_mono, epipole_dist2[None, :] >= 100.0 * scale_factors[oct2][None, :], True
+        both_mono,
+        epipole_dist2[None, :]
+        >= 100.0 * lookup_level(scale_factors, oct2)[None, :],
+        True,
     )
 
     mask = epi_ok & epipole_ok & free1[:, None] & free2[None, :]
     dist = hamming.hamming_matrix(desc1, desc2)
     best_idx, best = hamming.masked_argmin(dist, mask)
     ok = best < hamming.TH_LOW
-    ok = rotation_consistency_mask(angle1, angle2[best_idx], ok)
+    M = uv2.shape[0]
+    choice = _choice_matrix(best_idx, M)
+    ok = rotation_consistency_mask(angle1, _fetch(choice, angle2), ok)
 
     # enforce uniqueness on kf2 side (vbMatched2): best distance wins
-    M = uv2.shape[0]
     INF = hamming.MAX_DIST
     d_eff = jnp.where(ok, best, INF)
-    per2_best = jnp.full((M,), INF, jnp.int32).at[best_idx].min(d_eff)
-    win = ok & (d_eff == per2_best[best_idx])
+    dmat = jnp.where(choice, d_eff[:, None], INF)
+    per2_best = jnp.min(dmat, axis=0)  # [M]
+    win = ok & jnp.any(choice & (d_eff[:, None] == per2_best[None, :]), axis=1)
     return jnp.where(win, best_idx, -1), best
 
 
@@ -280,7 +324,7 @@ def fuse_match(
     gates: radius th*sf(pred), octave in [pred-1, pred], reprojection chi2
     < 5.99 (mono feature) / 7.8 (stereo feature), Hamming <= TH_LOW.
     Returns per-point best feature index (-1 none) and distance."""
-    radius = th * scale_factors[level_pt]  # [P]
+    radius = th * lookup_level(scale_factors, level_pt)  # [P]
     du = uv_kp[None, :, 0] - uv_pt[:, 0:1]
     dv = uv_kp[None, :, 1] - uv_pt[:, 1:2]
     window = (jnp.abs(du) <= radius[:, None]) & (jnp.abs(dv) <= radius[:, None])
@@ -292,7 +336,7 @@ def fuse_match(
     er = ur_pt[:, None] - ur_kp[None, :]
     e2_stereo = du * du + dv * dv + er * er
     e2_mono = du * du + dv * dv
-    isig = inv_level_sigma2[oct_kp][None, :]
+    isig = lookup_level(inv_level_sigma2, oct_kp)[None, :]
     chi_ok = jnp.where(
         ur_kp[None, :] >= 0, e2_stereo * isig <= 7.8, e2_mono * isig <= 5.99
     )
@@ -337,7 +381,7 @@ def search_by_projection_points(
     Returns per-keypoint point index [-1 none] and distances.
     """
     r_base = jnp.where(view_cos > 0.998, 2.5, 4.0)  # [P]
-    radius = th * r_base * scale_factors[level_pt]
+    radius = th * r_base * lookup_level(scale_factors, level_pt)
 
     du = uv_cur[:, 0][None, :] - uv_pt[:, 0][:, None]  # [P,N]
     dv = uv_cur[:, 1][None, :] - uv_pt[:, 1][:, None]
@@ -356,12 +400,13 @@ def search_by_projection_points(
     dist = hamming.hamming_matrix(desc_pt, desc_cur)
     best_idx, best, second = hamming.masked_two_smallest(dist, mask)
 
-    best_oct = oct_cur[best_idx]
+    N = uv_cur.shape[0]
+    choice_best = _choice_matrix(best_idx, N)
+    best_oct = _fetch(choice_best, oct_cur)
     # second-best octave: recompute with best masked out
-    one_hot_best = jax.nn.one_hot(best_idx, dist.shape[-1], dtype=bool)
-    d2 = jnp.where(mask & ~one_hot_best, dist, hamming.MAX_DIST)
-    second_idx = jnp.argmin(d2, axis=-1)
-    second_oct = oct_cur[second_idx]
+    d2 = jnp.where(mask & ~choice_best, dist, hamming.MAX_DIST)
+    second_idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    second_oct = _fetch(_choice_matrix(second_idx, N), oct_cur)
 
     ratio_applies = (best_oct == second_oct) & (second < hamming.MAX_DIST)
     ratio_ok = jnp.where(
@@ -369,13 +414,6 @@ def search_by_projection_points(
     )
     ok = (best <= hamming.TH_HIGH) & ratio_ok & valid_pt
 
-    N = uv_cur.shape[0]
-    P = uv_pt.shape[0]
-    INF = hamming.MAX_DIST
-    d_eff = jnp.where(ok, best, INF)
-    per_kp_best = jnp.full((N,), INF, jnp.int32).at[best_idx].min(d_eff)
-    win = ok & (d_eff == per_kp_best[best_idx])
-    point_for_kp = jnp.full((N,), -1, jnp.int32).at[
-        jnp.where(win, best_idx, N)
-    ].set(jnp.where(win, jnp.arange(P, dtype=jnp.int32), -1), mode="drop")
+    d_eff = jnp.where(ok, best, hamming.MAX_DIST)
+    point_for_kp, per_kp_best = _resolve_collisions(best_idx, d_eff, N)
     return point_for_kp, per_kp_best

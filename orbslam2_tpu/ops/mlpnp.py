@@ -156,7 +156,7 @@ def mlpnp_ransac(
     _, idx = jax.lax.top_k(g, 6)
 
     def solve_one(ix):
-        w = jnp.zeros(N).at[ix].set(1.0) * valid
+        w = jnp.any(jnp.arange(N)[None, :] == ix[:, None], axis=0).astype(jnp.float32) * valid  # one-hot union; scatters serialize on TPU
         return mlpnp_solve(pw, bearings, w, n_gn=4)
 
     Ts = jax.vmap(solve_one)(idx)

@@ -212,7 +212,7 @@ def pnp_ransac(
     _, idx = jax.lax.top_k(g, 4)  # [B,4]
 
     def solve_one(ix):
-        w = jnp.zeros(N).at[ix].set(1.0) * valid
+        w = jnp.any(jnp.arange(N)[None, :] == ix[:, None], axis=0).astype(jnp.float32) * valid  # one-hot union; scatters serialize on TPU
         return epnp_solve(pw, obs, w)
 
     Rs, ts, _ = jax.vmap(solve_one)(idx)

@@ -110,7 +110,7 @@ def sim3_ransac(
     _, idx = jax.lax.top_k(g, 3)
 
     def solve_one(ix):
-        w = jnp.zeros(N).at[ix].set(1.0) * valid
+        w = jnp.any(jnp.arange(N)[None, :] == ix[:, None], axis=0).astype(jnp.float32) * valid  # one-hot union; scatters serialize on TPU
         return horn_sim3(X1, X2, w, fix_scale)
 
     S = jax.vmap(solve_one)(idx)  # batched Sim3 pytree
