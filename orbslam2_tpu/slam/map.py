@@ -46,6 +46,10 @@ class SlamMap:
         self.kf_valid: Set[int] = set()
         self._next_kf = 0
 
+        # local map points for drawing (reference Map::SetReferenceMapPoints,
+        # Map.cpp:36-40); set by Tracking, read by MapDrawer
+        self.reference_points: List[int] = []
+
         # covisibility + spanning tree (reference KeyFrame.cpp:110-441)
         self.covis: Dict[int, Dict[int, int]] = {}  # kf -> {kf: weight}
         self.parent: Dict[int, int] = {}  # spanning tree

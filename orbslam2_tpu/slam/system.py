@@ -109,7 +109,7 @@ class System:
         with self.timers.span("Total tracking"):
             Tcw = self.tracker.track(im_left, im_right, timestamp)
         if self.viewer is not None:
-            self.viewer.update()
+            self.viewer.update(image=im_left)
         return Tcw
 
     def track_monocular(self, image, timestamp: float):
@@ -117,7 +117,7 @@ class System:
         with self.timers.span("Total tracking"):
             Tcw = self.tracker.track_mono(image, timestamp)
         if self.viewer is not None:
-            self.viewer.update()
+            self.viewer.update(image=image)
         return Tcw
 
     def activate_localization_mode(self):

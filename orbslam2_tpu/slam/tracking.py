@@ -593,6 +593,9 @@ class Tracker:
                     seen.add(pid)
                     pts.append(int(pid))
         self.local_points = pts
+        # reference Map::SetReferenceMapPoints (Tracking.cpp:1063): the
+        # local points are what MapDrawer highlights in red
+        self.map.reference_points = pts
 
     def _search_local_points(self, frame: FrameHost):
         """SearchLocalPoints (Tracking.cpp:979-1038): frustum check + device

@@ -1,12 +1,24 @@
-"""Map/trajectory visualization — the reference's Pangolin viewer analog.
+"""Visualization: Viewer / FrameDrawer / MapDrawer.
 
-The reference runs a live Pangolin GUI thread (src/Viewer.cpp,
-MapDrawer.cpp, FrameDrawer.cpp: map points, keyframe frusta, covisibility
-graph, annotated current frame). This environment is headless, so the
-equivalent is snapshot rendering to files with the same content: call
-`update()` per frame (cheap, throttled) and `save(path)` to write the
-current map + trajectory figure; `draw_frame()` produces the annotated
-current-frame image (tracked keypoints boxed, state text) as an array.
+The reference runs a live Pangolin GUI thread with three components
+(src/Viewer.cpp:32-113 menu + render loop; src/FrameDrawer.cpp annotated
+current frame with state text; src/MapDrawer.cpp map points, keyframe
+frusta, covisibility graph + spanning tree + loop edges, current camera).
+This environment is headless, so the equivalents render to arrays/files
+with the same content:
+
+  * ``FrameDrawer.update(tracker, image)`` snapshots the current frame
+    (FrameDrawer::Update, FrameDrawer.cpp) and ``draw_frame()`` returns
+    the annotated RGB image — tracked map points boxed green, VO points
+    blue, untracked gray, plus the status bar text (SLAM/LOCALIZATION
+    mode, LOST, match counts — FrameDrawer::DrawTextInfo analog).
+  * ``MapDrawer`` draws map points (DrawMapPoints), keyframe frusta and
+    the graph — covisibility(>=100) + spanning tree + loop edges
+    (DrawKeyFrames/DrawGraph) — and the current camera
+    (DrawCurrentCamera / SetCurrentCameraPose) into a matplotlib figure.
+  * ``Viewer`` orchestrates both at ~frame rate with the menu toggles as
+    booleans (follow camera / show points / show keyframes / show graph
+    — Viewer.cpp:46-52) and throttled snapshot output.
 """
 
 from __future__ import annotations
@@ -15,72 +27,233 @@ from typing import Optional
 
 import numpy as np
 
+_GREEN = (0, 255, 0)
+_BLUE = (80, 160, 255)
+_GRAY = (90, 90, 90)
 
-class Viewer:
-    def __init__(self, system, every_n: int = 30, out_dir: Optional[str] = None):
+
+class FrameDrawer:
+    """Annotated current-frame rendering (reference src/FrameDrawer.cpp)."""
+
+    def __init__(self, system):
         self.system = system
-        self.every_n = every_n
-        self.out_dir = out_dir
-        self._count = 0
+        self.image: Optional[np.ndarray] = None
+        self.frame = None
+        self.state = None
+        self.n_tracked = 0
+        self.n_tracked_vo = 0
 
-    def update(self):
-        self._count += 1
-        if self.out_dir is not None and self._count % self.every_n == 0:
-            self.save(f"{self.out_dir}/map_{self._count:06d}.png")
+    def update(self, image: Optional[np.ndarray] = None):
+        """Snapshot tracker state (FrameDrawer::Update): copies the current
+        image + keypoint/match info so drawing never races tracking."""
+        tr = self.system.tracker
+        self.frame = tr.last_frame
+        self.state = tr.state
+        if image is not None:
+            self.image = np.asarray(image)
+        if self.frame is not None:
+            lf = self.frame
+            ok = lf.valid & (lf.point_ids >= 0) & ~lf.outlier
+            self.n_tracked = int(ok.sum())
+            self.n_tracked_vo = len(getattr(lf, "temp_points", {}) or {})
 
-    # ------------------------------------------------------------------
+    def status_text(self) -> str:
+        """State line (FrameDrawer::DrawTextInfo, FrameDrawer.cpp)."""
+        from .tracking import TrackingState
+
+        m = self.system.map
+        if self.state is None or self.state == TrackingState.NO_IMAGES_YET:
+            return "WAITING FOR IMAGES"
+        if self.state == TrackingState.NOT_INITIALIZED:
+            return "TRYING TO INITIALIZE"
+        if self.state == TrackingState.LOST:
+            return "TRACK LOST. TRYING TO RELOCALIZE"
+        mode = (
+            "LOCALIZATION"
+            if getattr(self.system.tracker, "only_tracking", False)
+            else "SLAM MODE"
+        )
+        txt = (
+            f"{mode} | KFs: {m.n_keyframes()}, MPs: {len(m.pt_valid)}, "
+            f"Matches: {self.n_tracked}"
+        )
+        if self.n_tracked_vo:
+            txt += f", + VO matches: {self.n_tracked_vo}"
+        return txt
 
     def draw_frame(self) -> Optional[np.ndarray]:
-        """Annotated current-frame visualization (FrameDrawer::DrawFrame):
-        returns an RGB uint8 array with tracked features marked."""
-        tr = self.system.tracker
-        lf = tr.last_frame
+        """RGB uint8 image with tracked features marked (DrawFrame)."""
+        lf = self.frame
         if lf is None:
             return None
         H = self.system.config.camera.height
         W = self.system.config.camera.width
-        img = np.zeros((H, W, 3), np.uint8)
-        img[..., :] = 40
+        if self.image is not None and self.image.shape[:2] == (H, W):
+            base = np.clip(self.image, 0, 255).astype(np.uint8)
+            img = np.repeat(base[:, :, None], 3, axis=2)
+        else:
+            img = np.full((H, W, 3), 40, np.uint8)
         for i in np.nonzero(lf.valid)[0]:
             u, v = int(lf.uv[i, 0]), int(lf.uv[i, 1])
             if not (0 <= u < W and 0 <= v < H):
                 continue
-            color = (0, 255, 0) if lf.point_ids[i] >= 0 else (90, 90, 90)
+            if lf.point_ids[i] >= 0 and not lf.outlier[i]:
+                color = _GREEN  # map-point match (reference green boxes)
+            elif i in getattr(lf, "temp_points", {}):
+                color = _BLUE  # visual-odometry point (localization mode)
+            else:
+                color = _GRAY
             img[max(v - 1, 0) : v + 2, max(u - 1, 0) : u + 2] = color
+        self._put_text(img, self.status_text())
         return img
 
-    def save(self, path: str):
-        """Top-down map + trajectory plot (MapDrawer::DrawMapPoints/KeyFrames)."""
+    @staticmethod
+    def _put_text(img: np.ndarray, text: str):
+        try:
+            import cv2
+
+            cv2.rectangle(img, (0, img.shape[0] - 18), (img.shape[1], img.shape[0]),
+                          (0, 0, 0), -1)
+            cv2.putText(img, text, (4, img.shape[0] - 5),
+                        cv2.FONT_HERSHEY_PLAIN, 0.9, (255, 255, 255), 1)
+        except Exception:
+            img[-18:, :] = 0  # status bar placeholder without cv2
+
+
+class MapDrawer:
+    """Map rendering (reference src/MapDrawer.cpp): points, keyframe
+    frusta, covisibility graph / spanning tree / loop edges, current
+    camera. Draws into matplotlib axes; ``save`` writes the figure."""
+
+    def __init__(self, system, covis_min_weight: int = 100):
+        self.system = system
+        self.covis_min_weight = covis_min_weight
+        self._Tcw: Optional[np.ndarray] = None
+
+    def set_current_camera_pose(self, Tcw: np.ndarray):
+        """SetCurrentCameraPose (MapDrawer.cpp)."""
+        self._Tcw = None if Tcw is None else np.asarray(Tcw)
+
+    # ---- element renderers ------------------------------------------
+
+    def draw_map_points(self, ax):
+        """DrawMapPoints: all points gray, reference (local) points red."""
+        m = self.system.map
+        if not m.pt_valid:
+            return
+        P = np.stack([m.pt_pos[p] for p in m.pt_valid])
+        ax.scatter(P[:, 0], P[:, 2], s=1, c="#999999", label="map points")
+        ref = getattr(m, "reference_points", None)
+        if ref:
+            R = np.stack([m.pt_pos[p] for p in ref if p in m.pt_pos])
+            if len(R):
+                ax.scatter(R[:, 0], R[:, 2], s=1.5, c="#cc2222")
+
+    def draw_keyframes(self, ax, graph: bool = True):
+        """DrawKeyFrames + DrawGraph: frusta as dots/heading ticks; edges:
+        covisibility(>=covis_min_weight) green, spanning tree dark green,
+        loop edges magenta."""
+        m = self.system.map
+        centers = {k: m.kf_center(k) for k in m.kf_valid}
+        if centers:
+            C = np.stack([centers[k] for k in sorted(centers)])
+            ax.plot(C[:, 0], C[:, 2], "b.", ms=4, label="keyframes")
+            # heading tick = a tiny frustum stand-in (optical axis direction)
+            for k, c in centers.items():
+                Rwc = m.kf_pose[k][:3, :3].T
+                z = Rwc @ np.array([0.0, 0.0, 1.0])
+                ax.plot([c[0], c[0] + 0.15 * z[0]], [c[2], c[2] + 0.15 * z[2]],
+                        "b-", lw=0.5)
+        if not graph:
+            return
+        for k in m.kf_valid:
+            ck = centers[k]
+            for nb, w in m.covis.get(k, {}).items():
+                if nb > k and nb in centers and w >= self.covis_min_weight:
+                    cn = centers[nb]
+                    ax.plot([ck[0], cn[0]], [ck[2], cn[2]], "g-", lw=0.3)
+            parent = m.parent.get(k)
+            if parent is not None and parent in centers:
+                cp = centers[parent]
+                ax.plot([ck[0], cp[0]], [ck[2], cp[2]], "-", c="#006600", lw=0.5)
+            for le in m.loop_edges.get(k, ()):  # loop edges stand out
+                if le > k and le in centers:
+                    cl = centers[le]
+                    ax.plot([ck[0], cl[0]], [ck[2], cl[2]], "m-", lw=0.9)
+
+    def draw_current_camera(self, ax):
+        """DrawCurrentCamera: green marker at the latest pose."""
+        if self._Tcw is None:
+            return
+        c = -self._Tcw[:3, :3].T @ self._Tcw[:3, 3]
+        ax.plot([c[0]], [c[2]], "g^", ms=8, label="current camera")
+
+    def draw_trajectory(self, ax):
+        traj = [e.Tcw for e in self.system.tracker.trajectory if e.Tcw is not None]
+        if traj:
+            C = np.stack([-T[:3, :3].T @ T[:3, 3] for T in traj])
+            ax.plot(C[:, 0], C[:, 2], "r-", lw=0.6, label="trajectory")
+
+    # ---- figure assembly --------------------------------------------
+
+    def save(self, path: str, show_points=True, show_keyframes=True,
+             show_graph=True):
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        m = self.system.map
         fig, ax = plt.subplots(figsize=(8, 8))
-        if m.pt_valid:
-            P = np.stack([m.pt_pos[p] for p in m.pt_valid])
-            ax.scatter(P[:, 0], P[:, 2], s=1, c="#999999", label="map points")
-        centers = []
-        for k in sorted(m.kf_valid):
-            centers.append(m.kf_center(k))
-        if centers:
-            C = np.stack(centers)
-            ax.plot(C[:, 0], C[:, 2], "b.-", ms=4, lw=0.8, label="keyframes")
-        # covisibility graph edges
-        for k in m.kf_valid:
-            ck = m.kf_center(k)
-            for nb, w in m.covis.get(k, {}).items():
-                if nb > k and nb in m.kf_valid and w >= 100:
-                    cn = m.kf_center(nb)
-                    ax.plot([ck[0], cn[0]], [ck[2], cn[2]], "g-", lw=0.3)
-        traj = [e.Tcw for e in self.system.tracker.trajectory if e.Tcw is not None]
-        if traj:
-            C = np.stack([-T[:3, :3].T @ T[:3, 3] for T in traj])
-            ax.plot(C[:, 0], C[:, 2], "r-", lw=0.6, label="trajectory")
+        if show_points:
+            self.draw_map_points(ax)
+        if show_keyframes:
+            self.draw_keyframes(ax, graph=show_graph)
+        self.draw_trajectory(ax)
+        self.draw_current_camera(ax)
         ax.set_aspect("equal")
         ax.set_xlabel("x [m]")
         ax.set_ylabel("z [m]")
         ax.legend(loc="upper right", fontsize=8)
         fig.savefig(path, dpi=110, bbox_inches="tight")
         plt.close(fig)
+
+
+class Viewer:
+    """Headless viewer loop (reference src/Viewer.cpp): drives both
+    drawers once per frame and writes throttled map snapshots. The
+    Pangolin menu toggles (Viewer.cpp:46-52) are plain attributes."""
+
+    def __init__(self, system, every_n: int = 30, out_dir: Optional[str] = None):
+        self.system = system
+        self.every_n = every_n
+        self.out_dir = out_dir
+        self.frame_drawer = FrameDrawer(system)
+        self.map_drawer = MapDrawer(system)
+        # menu toggles (menuFollowCamera/menuShowPoints/... analogs)
+        self.follow_camera = True
+        self.show_points = True
+        self.show_keyframes = True
+        self.show_graph = True
+        self._count = 0
+
+    def update(self, image: Optional[np.ndarray] = None):
+        self._count += 1
+        self.frame_drawer.update(image)
+        lf = self.system.tracker.last_frame
+        if lf is not None and lf.Tcw is not None:
+            self.map_drawer.set_current_camera_pose(lf.Tcw)
+        if self.out_dir is not None and self._count % self.every_n == 0:
+            self.save(f"{self.out_dir}/map_{self._count:06d}.png")
+
+    def draw_frame(self) -> Optional[np.ndarray]:
+        if self.frame_drawer.frame is None:
+            self.frame_drawer.update()
+        return self.frame_drawer.draw_frame()
+
+    def save(self, path: str):
+        self.map_drawer.save(
+            path,
+            show_points=self.show_points,
+            show_keyframes=self.show_keyframes,
+            show_graph=self.show_graph,
+        )

@@ -123,3 +123,22 @@ class TestViewer:
         assert img is not None and img.shape[2] == 3
         # tracked features are marked in green
         assert (img[..., 1] == 255).sum() > 50
+
+    def test_frame_drawer_status_and_map_drawer(self, system_run, tmp_path):
+        from orbslam2_tpu.slam.viewer import FrameDrawer, MapDrawer
+
+        sys_, _ = system_run
+        fd = FrameDrawer(sys_)
+        fd.update()
+        txt = fd.status_text()
+        assert "SLAM MODE" in txt and "KFs:" in txt and "Matches:" in txt
+        md = MapDrawer(sys_)
+        lf = sys_.tracker.last_frame
+        md.set_current_camera_pose(lf.Tcw)
+        p = str(tmp_path / "map_full.png")
+        md.save(p)
+        assert os.path.getsize(p) > 5000
+        # toggles change output (points off => smaller file)
+        p2 = str(tmp_path / "map_nopoints.png")
+        md.save(p2, show_points=False)
+        assert os.path.getsize(p2) < os.path.getsize(p)
