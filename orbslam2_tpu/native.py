@@ -41,6 +41,16 @@ if _lib is not None:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
     ]
+    _lib.vocab_count.restype = ctypes.c_int64
+    _lib.vocab_count.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    _lib.vocab_parse.restype = ctypes.c_int64
+    _lib.vocab_parse.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+    ]
 
 
 def available() -> bool:
@@ -115,6 +125,40 @@ class AsyncRemap:
         if job is not None:
             _lib.preprocess_wait(job)
         return dst
+
+
+def parse_vocabulary_text(path: str, n_threads: int = 0):
+    """Parse a DBoW2 text vocabulary (ORBvoc.txt format — the reference's
+    slowest init step, System.cpp:38-39) with the native multi-threaded
+    parser. Returns (k, L, parents[n] i32, is_leaf[n] bool, desc[n,32] u8,
+    weights[n] f32), node 0 = implicit root; None if the library is absent
+    (callers fall back to the Python parser)."""
+    if _lib is None:
+        return None
+    k = ctypes.c_int()
+    L = ctypes.c_int()
+    n = _lib.vocab_count(path.encode(), ctypes.byref(k), ctypes.byref(L))
+    if n < 0:
+        raise FileNotFoundError(path)
+    parents = np.empty(n + 1, np.int32)
+    is_leaf = np.empty(n + 1, np.uint8)
+    desc = np.zeros((n + 1, 32), np.uint8)
+    weights = np.zeros(n + 1, np.float32)
+    got = _lib.vocab_parse(
+        path.encode(),
+        parents[1:].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8p(is_leaf[1:]), _u8p(desc[1:]),
+        _f32p(weights[1:]), n, n_threads,
+    )
+    if got < 0:
+        raise FileNotFoundError(path)
+    n = int(got)
+    parents[0], is_leaf[0], weights[0] = -1, 0, 0.0
+    end = n + 1
+    return (
+        int(k.value), int(L.value),
+        parents[:end], is_leaf[:end].astype(bool), desc[:end], weights[:end],
+    )
 
 
 def to_grayscale(src: np.ndarray, bgr: bool = True) -> np.ndarray:

@@ -106,14 +106,22 @@ def build_from_nodes(
 
     children_idx = np.full((n_nodes, k), -1, np.int32)
     children_desc = np.zeros((n_nodes, k, 8), np.uint32)
-    slot = np.zeros(n_nodes, np.int32)
-    for node in range(1, n_nodes):
-        p = parents[node]
-        s = slot[p]
-        if s < k:
-            children_idx[p, s] = node
-            children_desc[p, s] = desc_u32[node]
-            slot[p] = s + 1
+    if n_nodes > 1:
+        # vectorized children-table build: stable-sort nodes by parent, then
+        # the slot of each node is its rank within its parent group
+        # (ORBvoc scale is ~1M nodes; a Python per-node loop would crawl)
+        nodes = np.arange(1, n_nodes, dtype=np.int32)
+        p = parents[1:]
+        order = np.argsort(p, kind="stable")
+        ps = p[order]
+        group_start = np.concatenate([[0], np.nonzero(np.diff(ps))[0] + 1])
+        starts = np.zeros(len(ps), np.int64)
+        starts[group_start] = group_start
+        starts = np.maximum.accumulate(starts)
+        slot = np.arange(len(ps)) - starts
+        keep = slot < k
+        children_idx[ps[keep], slot[keep]] = nodes[order][keep]
+        children_desc[ps[keep], slot[keep]] = desc_u32[nodes[order][keep]]
     return Vocabulary(
         children_desc=jnp.asarray(children_desc),
         children_idx=jnp.asarray(children_idx),
@@ -128,7 +136,16 @@ def load_dbow2_text(path: str) -> Vocabulary:
     """Load a DBoW2 text vocabulary (the ORBvoc.txt format the reference
     expects at System.cpp:38-39; writer TemplatedVocabulary.h:1382-1416):
     header `k L scoring weighting`, then per node:
-    `parent_id is_leaf d0..d31 weight`."""
+    `parent_id is_leaf d0..d31 weight`.
+
+    Uses the native multi-threaded parser (native/src/vocab_parse.cc) when
+    built — the reference's equivalent load is its slowest init step —
+    with this Python parser as the fallback."""
+    from .. import native
+
+    if native.available():
+        k, L, parents, leaves, descs, weights = native.parse_vocabulary_text(path)
+        return build_from_nodes(parents, descs, weights, leaves, k, L)
     with open(path) as f:
         header = f.readline().split()
         k, L = int(header[0]), int(header[1])

@@ -48,3 +48,62 @@ class TestNative:
             0.114 * img[..., 0] + 0.587 * img[..., 1] + 0.299 * img[..., 2]
         ).astype(np.float32)
         np.testing.assert_allclose(got, want, atol=0.51)
+
+    def test_vocab_parser_matches_python(self, rng, tmp_path):
+        """Native multi-threaded ORBvoc.txt parser agrees with the Python
+        fallback on a generated k=4/L=3 vocabulary file."""
+        from orbslam2_tpu.vocab import bow
+
+        k, L = 4, 3
+        lines = [f"{k} {L} 0 0"]
+        parent_of = {0: -1}
+        next_id = 1
+        frontier = [0]
+        for level in range(L):
+            new_frontier = []
+            for p in frontier:
+                for _ in range(k):
+                    parent_of[next_id] = p
+                    new_frontier.append(next_id)
+                    next_id += 1
+            frontier = new_frontier
+        leaves = set(frontier)
+        for nid in range(1, next_id):
+            d = rng.integers(0, 256, 32)
+            w = float(rng.uniform(0, 2)) if nid in leaves else 0.0
+            lines.append(
+                f"{parent_of[nid]} {int(nid in leaves)} "
+                + " ".join(str(x) for x in d)
+                + f" {w:.6f}"
+            )
+        p = str(tmp_path / "voc.txt")
+        open(p, "w").write("\n".join(lines) + "\n")
+
+        got = native.parse_vocabulary_text(p, n_threads=3)
+        assert got is not None
+        gk, gL, parents, is_leaf, desc, weights = got
+        assert (gk, gL) == (k, L)
+        assert len(parents) == next_id
+        for nid in range(1, next_id):
+            assert parents[nid] == parent_of[nid]
+            assert bool(is_leaf[nid]) == (nid in leaves)
+        # whole-vocabulary equality through the loader (native vs python path)
+        v_native = bow.load_dbow2_text(p)
+        import orbslam2_tpu.native as native_mod
+
+        lib = native_mod._lib
+        native_mod._lib = None
+        try:
+            v_py = bow.load_dbow2_text(p)
+        finally:
+            native_mod._lib = lib
+        np.testing.assert_array_equal(
+            np.asarray(v_native.children_idx), np.asarray(v_py.children_idx)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(v_native.children_desc), np.asarray(v_py.children_desc)
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_native.word_weight), np.asarray(v_py.word_weight),
+            rtol=1e-6,
+        )
