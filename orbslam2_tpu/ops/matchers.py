@@ -100,6 +100,30 @@ def rotation_consistency_mask(
 # ---------------------------------------------------------------------------
 
 
+def search_by_bow(
+    desc_a: jax.Array,  # [A,8] uint32 (keyframe / reference features)
+    valid_a: jax.Array,  # [A] bool
+    angle_a: jax.Array,  # [A]
+    desc_b: jax.Array,  # [B,8] uint32 (frame features)
+    valid_b: jax.Array,  # [B] bool
+    angle_b: jax.Array,  # [B]
+    ratio: jax.Array | float,
+):
+    """SearchByBoW core (reference ORBmatcher.cpp:110-239) as ONE device
+    program: Hamming matrix + mutual-ratio + rotation-consistency. The
+    reference walks BoW buckets to prune candidates; dense masked matching
+    subsumes that on TPU. Returns (idx [A] into B, best [A] distance,
+    keep [A] bool) — fetch with one jax.device_get. Host resolves B-side
+    collisions (best distance wins) since that ordering is inherently
+    sequential and tiny."""
+    d = hamming.hamming_matrix(desc_a, desc_b)
+    mask = valid_a[:, None] & valid_b[None, :]
+    idx, best, second = hamming.masked_two_smallest(d, mask)
+    ok = (best < hamming.TH_LOW) & (best < ratio * second)
+    keep = rotation_consistency_mask(angle_a, angle_b[idx], ok)
+    return idx, best, keep
+
+
 class StereoMatches(NamedTuple):
     u_right: jax.Array  # [N] float32, -1 where unmatched
     depth: jax.Array  # [N] float32, -1 where unmatched

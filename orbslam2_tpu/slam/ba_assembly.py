@@ -107,9 +107,12 @@ def assemble_pm_problem(
 def apply_pm_result(m: SlamMap, res, meta: PMMeta):
     """Write back poses/points; erase outlier observations (reference
     Optimizer.cpp:718-760); refresh normals."""
-    new_poses = np.asarray(res.poses)
-    new_points = np.asarray(res.points)
-    inlier = np.asarray(res.edge_inlier)
+    import jax
+
+    res = jax.device_get(res)  # one batched fetch (vs one RTT per field)
+    new_poses = res.poses
+    new_points = res.points
+    inlier = res.edge_inlier
     for k, i in meta.kf_index.items():
         if not meta.fixed_mask[i]:
             m.kf_pose[k] = new_poses[i]

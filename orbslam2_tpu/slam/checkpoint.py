@@ -86,6 +86,8 @@ def load_map(m: SlamMap, path: str):
         frame.point_ids = z["kf_point"][i].astype(np.int64).copy()
         frame.outlier = np.zeros(len(frame.valid), bool)
         frame.Tcw = z["kf_pose"][i]
+        frame.temp_points = {}
+        frame._dev = None  # lazily re-uploaded via FrameHost.dev
         m.kf_pose[k] = z["kf_pose"][i].astype(np.float32)
         m.kf_frame[k] = frame
         m.kf_point[k] = frame.point_ids.copy()

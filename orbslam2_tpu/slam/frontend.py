@@ -106,14 +106,20 @@ class FrameHost:
     def __init__(self, features: FrameFeatures, timestamp: float, frame_id: int):
         self.timestamp = timestamp
         self.frame_id = frame_id
-        self.uv = np.asarray(features.uv)
-        self.octave = np.asarray(features.octave)
-        self.angle = np.asarray(features.angle)
-        self.response = np.asarray(features.response)
-        self.desc = np.asarray(features.desc)
-        self.valid = np.asarray(features.valid)
-        self.u_right = np.asarray(features.u_right)
-        self.depth = np.asarray(features.depth)
+        # device-resident copy: downstream matchers/optimizers take these
+        # directly, avoiding host->device re-uploads of per-frame features
+        self._dev = features
+        # ONE batched device->host transfer: per-leaf np.asarray would pay
+        # a full tunnel round trip per field (~8x the latency)
+        f = jax.device_get(features)
+        self.uv = f.uv
+        self.octave = f.octave
+        self.angle = f.angle
+        self.response = f.response
+        self.desc = f.desc
+        self.valid = f.valid
+        self.u_right = f.u_right
+        self.depth = f.depth
         n = len(self.valid)
         self.point_ids = np.full(n, -1, np.int64)  # matched map point per kp
         self.outlier = np.zeros(n, bool)
@@ -125,3 +131,16 @@ class FrameHost:
     @property
     def n_keypoints(self) -> int:
         return int(self.valid.sum())
+
+    @property
+    def dev(self) -> FrameFeatures:
+        """Device-resident features; re-uploaded lazily for frames restored
+        from a checkpoint (which carry numpy arrays only)."""
+        if getattr(self, "_dev", None) is None:
+            self._dev = FrameFeatures(
+                uv=jnp.asarray(self.uv), octave=jnp.asarray(self.octave),
+                angle=jnp.asarray(self.angle), response=jnp.asarray(self.response),
+                desc=jnp.asarray(self.desc), valid=jnp.asarray(self.valid),
+                u_right=jnp.asarray(self.u_right), depth=jnp.asarray(self.depth),
+            )
+        return self._dev

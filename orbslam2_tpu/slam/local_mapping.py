@@ -209,10 +209,10 @@ class LocalMapper:
                 np.float32,
             )
             m12, _ = self._jit_epipolar(
-                jnp.asarray(f1.uv), jnp.asarray(f1.desc), jnp.asarray(free1),
-                jnp.asarray(f1.angle), jnp.asarray(stereo1),
-                jnp.asarray(f2.uv), jnp.asarray(f2.octave), jnp.asarray(f2.desc),
-                jnp.asarray(free2), jnp.asarray(f2.angle), jnp.asarray(stereo2),
+                f1.dev.uv, f1.dev.desc, jnp.asarray(free1),
+                f1.dev.angle, jnp.asarray(stereo1),
+                f2.dev.uv, f2.dev.octave, f2.dev.desc,
+                jnp.asarray(free2), f2.dev.angle, jnp.asarray(stereo2),
                 jnp.asarray(F12), jnp.asarray(ep),
             )
             m12 = np.asarray(m12)
@@ -403,8 +403,8 @@ class LocalMapper:
             return out
 
         best_idx, best_dist = self._jit_fuse(
-            jnp.asarray(f.uv), jnp.asarray(f.octave), jnp.asarray(f.u_right),
-            jnp.asarray(f.desc), jnp.asarray(f.valid),
+            f.dev.uv, f.dev.octave, f.dev.u_right,
+            f.dev.desc, f.dev.valid,
             jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
             jnp.asarray(padto(ur.astype(np.float32))),
             jnp.asarray(padto(level)),

@@ -33,7 +33,8 @@ MIN_LOOP_GAP = 10  # don't look for loops right after the last one (:97-103)
 
 
 def _np_sim3(S: sim3_mod.Sim3):
-    return np.asarray(S.R), np.asarray(S.t), float(np.asarray(S.s))
+    S = jax.device_get(S)  # one batched fetch
+    return S.R, S.t, float(S.s)
 
 
 class LoopCloser:
@@ -62,6 +63,11 @@ class LoopCloser:
             sim3solve.sim3_ransac, static_argnames=("fix_scale", "n_hyp")
         )
         self._jit_gba = ba.ba_solve_pm_jit
+        self._jit_match_bow = jax.jit(matchers.search_by_bow)
+        self._jit_opt_sim3 = jax.jit(
+            sim3solve.optimize_sim3, static_argnames=("fix_scale", "n_iters")
+        )
+        self._jit_fuse_match = jax.jit(matchers.fuse_match, static_argnames=("th",))
 
         # state produced by _detect/_compute for _correct
         self._candidates: List[int] = []
@@ -143,14 +149,10 @@ class LoopCloser:
         p2 = self.map.kf_point[kf2]
         has1 = (p1 >= 0) & f1.valid
         has2 = (p2 >= 0) & f2.valid
-        d = hamming.hamming_matrix(jnp.asarray(f1.desc), jnp.asarray(f2.desc))
-        mask = jnp.asarray(has1)[:, None] & jnp.asarray(has2)[None, :]
-        idx, best, second = hamming.masked_two_smallest(d, mask)
-        idx, best, second = np.asarray(idx), np.asarray(best), np.asarray(second)
-        ok = (best < hamming.TH_LOW) & (best < 0.75 * second)
-        keep = np.asarray(
-            matchers.rotation_consistency_mask(
-                jnp.asarray(f1.angle), jnp.asarray(f2.angle[idx]), jnp.asarray(ok)
+        idx, best, keep = jax.device_get(
+            self._jit_match_bow(
+                f1.dev.desc, jnp.asarray(has1), f1.dev.angle,
+                f2.dev.desc, jnp.asarray(has2), f2.dev.angle, 0.75,
             )
         )
         out = {}
@@ -244,25 +246,36 @@ class LoopCloser:
                         9.21 * sigma2[f1.octave[i1]], 9.21 * sigma2[f2.octave[i2]],
                     ))
                 if add_rows:
-                    X1 = np.concatenate([X1, np.stack([r[0] for r in add_rows]).astype(np.float32)])
-                    X2 = np.concatenate([X2, np.stack([r[1] for r in add_rows]).astype(np.float32)])
-                    uv1 = np.concatenate([uv1, np.stack([r[2] for r in add_rows]).astype(np.float32)])
-                    uv2 = np.concatenate([uv2, np.stack([r[3] for r in add_rows]).astype(np.float32)])
-                    me1 = np.concatenate([me1, np.array([r[4] for r in add_rows], np.float32)])
-                    me2 = np.concatenate([me2, np.array([r[5] for r in add_rows], np.float32)])
-                    valid = np.concatenate([valid, np.ones(len(add_rows), bool)])
-                    inl_pad = np.concatenate(
-                        [np.asarray(res.inliers), np.ones(len(add_rows), bool)]
-                    )
+                    # pad the extension to a power-of-two bucket so the
+                    # jitted Sim3 refinement sees few distinct shapes
+                    n_add = len(add_rows)
+                    B = 1 << int(np.ceil(np.log2(max(n_add, 64))))
+                    def bucket(rows, width=None):
+                        a = np.stack(rows).astype(np.float32) if width else np.array(rows, np.float32)
+                        out = np.zeros((B,) + a.shape[1:], np.float32)
+                        out[:n_add] = a
+                        return out
+                    X1 = np.concatenate([X1, bucket([r[0] for r in add_rows], 3)])
+                    X2 = np.concatenate([X2, bucket([r[1] for r in add_rows], 3)])
+                    uv1 = np.concatenate([uv1, bucket([r[2] for r in add_rows], 2)])
+                    uv2 = np.concatenate([uv2, bucket([r[3] for r in add_rows], 2)])
+                    me1 = np.concatenate([me1, bucket([r[4] for r in add_rows])])
+                    me2 = np.concatenate([me2, bucket([r[5] for r in add_rows])])
+                    ext_valid = np.zeros(B, bool)
+                    ext_valid[:n_add] = True
+                    valid = np.concatenate([valid, ext_valid])
+                    inl_pad = np.concatenate([np.asarray(res.inliers), ext_valid])
                 else:
                     inl_pad = np.asarray(res.inliers)
             else:
                 inl_pad = np.asarray(res.inliers)
 
-            S12, inl, n_inl = sim3solve.optimize_sim3(
+            S12, inl, n_inl = self._jit_opt_sim3(
                 res.S12, jnp.asarray(X1), jnp.asarray(X2),
                 jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(np.where(me1 > 0, 9.21 / me1, 1.0).astype(np.float32)),
+                jnp.asarray(
+                    (9.21 / np.where(me1 > 0, me1, 9.21)).astype(np.float32)
+                ),
                 jnp.ones(len(valid), jnp.float32),
                 jnp.asarray(valid & inl_pad),
                 self.frontend.camera,
@@ -388,10 +401,10 @@ class LoopCloser:
             return out
 
         ur_dummy = np.full(P, -1.0, np.float32)
-        best_idx, best_dist = matchers.fuse_match(
-            jnp.asarray(f.uv), jnp.asarray(f.octave),
+        best_idx, best_dist = self._jit_fuse_match(
+            f.dev.uv, f.dev.octave,
             jnp.asarray(np.full(len(f.valid), -1.0, np.float32)),  # no stereo gate
-            jnp.asarray(f.desc), jnp.asarray(f.valid),
+            f.dev.desc, f.dev.valid,
             jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
             jnp.asarray(ur_dummy),
             jnp.asarray(padto(level)),
@@ -622,12 +635,11 @@ class LoopCloser:
                 np.array([k == self._matched_kf for k in kfs])
             ),
         )
-        V_opt, _ = posegraph.optimize_essential_graph(
+        V_opt, _ = posegraph.optimize_essential_graph_jit(
             prob, fix_scale=self.fix_scale
         )
-        R_opt = np.asarray(V_opt.R)
-        t_opt = np.asarray(V_opt.t)
-        s_opt = np.asarray(V_opt.s)
+        V_opt = jax.device_get(V_opt)  # one batched fetch
+        R_opt, t_opt, s_opt = V_opt.R, V_opt.t, V_opt.s
 
         # correct points via their reference keyframe: p' = S_corr^-1(S_old p)
         old_poses = {k: m.kf_pose[k].astype(np.float64).copy() for k in kfs}

@@ -53,12 +53,17 @@ class Relocalizer:
                 T0, pw, obs, isig, ster, valid, frontend.camera
             )
         )
+        self._jit_match_bow = jax.jit(matchers.search_by_bow)
+        self._jit_search_proj = jax.jit(
+            matchers.search_by_projection_frame, static_argnames=("check_rotation",)
+        )
 
     # ------------------------------------------------------------------
 
     def compute_bow(self, desc: np.ndarray, valid: np.ndarray):
-        words, vec = self._jit_transform(jnp.asarray(desc), jnp.asarray(valid))
-        return np.asarray(words), np.asarray(vec)
+        return jax.device_get(  # one batched fetch
+            self._jit_transform(jnp.asarray(desc), jnp.asarray(valid))
+        )
 
     def add_keyframe(self, kf: int):
         f = self.map.kf_frame[kf]
@@ -102,14 +107,15 @@ class Relocalizer:
                 # angular gate equivalent to the pixel chi2 gate
                 ang = np.sqrt(5.991 * sigma2[frame.octave]) / cam.fx
                 cos_th = jnp.asarray(np.cos(ang).astype(np.float32))
-                mres = self._jit_mlpnp(
-                    sub, jnp.asarray(pw), bearings, jnp.asarray(valid), cos_th
+                mres = jax.device_get(
+                    self._jit_mlpnp(
+                        sub, jnp.asarray(pw), bearings, jnp.asarray(valid), cos_th
+                    )
                 )
                 if int(mres.n_inliers) < 10:
                     continue
-                Tcw = np.asarray(mres.Tcw).astype(np.float32)
-                frame.Tcw = Tcw
-                inl = np.asarray(mres.inliers)
+                frame.Tcw = mres.Tcw.astype(np.float32)
+                inl = mres.inliers
             else:
                 obs_n = np.stack(
                     [
@@ -121,17 +127,19 @@ class Relocalizer:
                 max_err2 = (
                     5.991 * sigma2[frame.octave] / (cam.fx * cam.fx)
                 ).astype(np.float32)
-                res = self._jit_ransac(
-                    sub, jnp.asarray(pw), jnp.asarray(obs_n), jnp.asarray(valid),
-                    jnp.asarray(max_err2),
+                res = jax.device_get(
+                    self._jit_ransac(
+                        sub, jnp.asarray(pw), jnp.asarray(obs_n), jnp.asarray(valid),
+                        jnp.asarray(max_err2),
+                    )
                 )
                 if int(res.n_inliers) < 10:
                     continue
                 Tcw = np.eye(4, dtype=np.float32)
-                Tcw[:3, :3] = np.asarray(res.R)
-                Tcw[:3, 3] = np.asarray(res.t)
+                Tcw[:3, :3] = res.R
+                Tcw[:3, 3] = res.t
                 frame.Tcw = Tcw
-                inl = np.asarray(res.inliers)
+                inl = res.inliers
             frame.point_ids[:] = np.where(inl & valid, pids, -1)
 
             n_good = self._optimize(frame)
@@ -159,14 +167,10 @@ class Relocalizer:
                 desc[i] = self.map.pt_desc[pid]
             else:
                 has_pt[i] = False
-        d = hamming.hamming_matrix(jnp.asarray(desc), jnp.asarray(frame.desc))
-        mask = jnp.asarray(has_pt)[:, None] & jnp.asarray(frame.valid)[None, :]
-        idx, best, second = hamming.masked_two_smallest(d, mask)
-        idx, best, second = np.asarray(idx), np.asarray(best), np.asarray(second)
-        ok = (best < hamming.TH_LOW) & (best < 0.75 * second)
-        keep = np.asarray(
-            matchers.rotation_consistency_mask(
-                jnp.asarray(kff.angle), jnp.asarray(frame.angle[idx]), jnp.asarray(ok)
+        idx, best, keep = jax.device_get(
+            self._jit_match_bow(
+                jnp.asarray(desc), jnp.asarray(has_pt), kff.dev.angle,
+                frame.dev.desc, frame.dev.valid, frame.dev.angle, 0.75,
             )
         )
         out = np.full(len(frame.valid), -1, np.int64)
@@ -193,14 +197,15 @@ class Relocalizer:
             np.float32
         )
         inv_sig = 1.0 / self.frontend.level_sigma2[frame.octave]
-        res = self._jit_pose_opt(
-            jnp.asarray(frame.Tcw), jnp.asarray(pw), jnp.asarray(obs),
-            jnp.asarray(inv_sig, jnp.float32), jnp.asarray(frame.u_right >= 0),
-            jnp.asarray(valid),
+        res = jax.device_get(  # one batched fetch
+            self._jit_pose_opt(
+                jnp.asarray(frame.Tcw), jnp.asarray(pw), jnp.asarray(obs),
+                jnp.asarray(inv_sig, jnp.float32), jnp.asarray(frame.u_right >= 0),
+                jnp.asarray(valid),
+            )
         )
-        frame.Tcw = np.asarray(res.Tcw)
-        inlier = np.asarray(res.inlier)
-        frame.point_ids[valid & ~inlier] = -1
+        frame.Tcw = res.Tcw
+        frame.point_ids[valid & ~res.inlier] = -1
         return int(res.n_inliers)
 
     def _widen(self, frame: FrameHost, kf: int, th: float, orb_dist: int) -> int:
@@ -237,20 +242,20 @@ class Relocalizer:
             return out
 
         kp_free = frame.valid & (frame.point_ids < 0)
-        pfk, dists = matchers.search_by_projection_frame(
-            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
-            jnp.asarray(frame.desc), jnp.asarray(kp_free), jnp.asarray(frame.angle),
-            jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
-            jnp.asarray(padto(np.array(oct_rows, np.int32))),
-            jnp.asarray(padto(np.stack(desc_rows).astype(np.uint32))),
-            jnp.asarray(padto(proj_ok)),
-            jnp.asarray(padto(kff.angle[: len(cand)] * 0.0)),  # rotation check off
-            self.frontend.scale_factors, th,
-            jnp.asarray(False), jnp.asarray(False),
-            check_rotation=False,
+        pfk, d = jax.device_get(
+            self._jit_search_proj(
+                frame.dev.uv, frame.dev.octave,
+                frame.dev.desc, jnp.asarray(kp_free), frame.dev.angle,
+                jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
+                jnp.asarray(padto(np.array(oct_rows, np.int32))),
+                jnp.asarray(padto(np.stack(desc_rows).astype(np.uint32))),
+                jnp.asarray(padto(proj_ok)),
+                jnp.asarray(padto(kff.angle[: len(cand)] * 0.0)),  # rotation check off
+                self.frontend.scale_factors, th,
+                jnp.asarray(False), jnp.asarray(False),
+                check_rotation=False,
+            )
         )
-        pfk = np.asarray(pfk)
-        d = np.asarray(dists)
         for i in np.nonzero(pfk >= 0)[0]:
             if frame.point_ids[i] < 0 and pfk[i] < len(cand) and d[i] <= orb_dist:
                 frame.point_ids[i] = cand[int(pfk[i])]

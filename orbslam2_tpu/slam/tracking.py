@@ -92,6 +92,8 @@ class Tracker:
             )
         )
 
+        self._jit_match_bow = jax.jit(matchers.search_by_bow)
+
     # ------------------------------------------------------------------
 
     def _span(self, name):
@@ -244,22 +246,20 @@ class Tracker:
         """SearchForInitialization equivalent (ORBmatcher window 100, ratio
         0.9, octave 0 only, rotation check). Returns per-ref-kp index into
         cur (-1 none)."""
-        from ..ops import hamming as ham_mod
+        @jax.jit
+        def init_match(rd, cd):
+            d = hamming.hamming_matrix(rd.desc, cd.desc)
+            du = jnp.abs(rd.uv[:, 0][:, None] - cd.uv[:, 0][None, :])
+            dv = jnp.abs(rd.uv[:, 1][:, None] - cd.uv[:, 1][None, :])
+            window = (du <= 100) & (dv <= 100)
+            o0 = (rd.octave[:, None] == 0) & (cd.octave[None, :] == 0)
+            mask = window & o0 & rd.valid[:, None] & cd.valid[None, :]
+            idx, best, second = hamming.masked_two_smallest(d, mask)
+            ok = (best < hamming.TH_LOW) & (best < 0.9 * second)
+            keep = matchers.rotation_consistency_mask(rd.angle, cd.angle[idx], ok)
+            return idx, best, keep
 
-        d = ham_mod.hamming_matrix(jnp.asarray(ref.desc), jnp.asarray(cur.desc))
-        du = np.abs(ref.uv[:, 0][:, None] - cur.uv[:, 0][None, :])
-        dv = np.abs(ref.uv[:, 1][:, None] - cur.uv[:, 1][None, :])
-        window = (du <= 100) & (dv <= 100)
-        o0 = (ref.octave[:, None] == 0) & (cur.octave[None, :] == 0)
-        mask = jnp.asarray(window & o0) & jnp.asarray(ref.valid)[:, None] & jnp.asarray(cur.valid)[None, :]
-        idx, best, second = ham_mod.masked_two_smallest(d, mask)
-        idx, best, second = np.asarray(idx), np.asarray(best), np.asarray(second)
-        ok = (best < ham_mod.TH_LOW) & (best < 0.9 * second)
-        keep = np.asarray(
-            matchers.rotation_consistency_mask(
-                jnp.asarray(ref.angle), jnp.asarray(cur.angle[idx]), jnp.asarray(ok)
-            )
-        )
+        idx, best, keep = jax.device_get(init_match(ref.dev, cur.dev))
         out = np.full(self._N, -1, np.int64)
         used = np.zeros(self._N, bool)
         for i in np.argsort(best):
@@ -362,17 +362,18 @@ class Tracker:
         obs = np.concatenate([frame.uv, frame.u_right[:, None]], axis=1).astype(np.float32)
         is_stereo = frame.u_right >= 0
         inv_sig = 1.0 / self.frontend.level_sigma2[frame.octave]
-        res = self._jit_pose_opt(
-            jnp.asarray(frame.Tcw),
-            jnp.asarray(pw),
-            jnp.asarray(obs),
-            jnp.asarray(inv_sig, jnp.float32),
-            jnp.asarray(is_stereo),
-            jnp.asarray(valid),
+        res = jax.device_get(  # one batched fetch (vs one RTT per field)
+            self._jit_pose_opt(
+                jnp.asarray(frame.Tcw),
+                jnp.asarray(pw),
+                jnp.asarray(obs),
+                jnp.asarray(inv_sig, jnp.float32),
+                jnp.asarray(is_stereo),
+                jnp.asarray(valid),
+            )
         )
-        frame.Tcw = np.asarray(res.Tcw)
-        inlier = np.asarray(res.inlier)
-        frame.outlier = valid & ~inlier
+        frame.Tcw = res.Tcw
+        frame.outlier = valid & ~res.inlier
         return int(res.n_inliers)
 
     def _discard_outliers(self, frame: FrameHost) -> int:
@@ -452,12 +453,12 @@ class Tracker:
         fwd, bwd = bool(tlc[2] > b), bool(-tlc[2] > b)
 
         point_for_kp, _ = self._jit_match_frame(
-            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
-            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            jnp.asarray(frame.angle),
+            frame.dev.uv, frame.dev.octave,
+            frame.dev.desc, frame.dev.valid,
+            frame.dev.angle,
             jnp.asarray(np.stack([u, v], -1), jnp.float32),
-            jnp.asarray(lf.octave), jnp.asarray(desc),
-            jnp.asarray(proj_valid), jnp.asarray(lf.angle),
+            lf.dev.octave, jnp.asarray(desc),
+            jnp.asarray(proj_valid), lf.dev.angle,
             th, jnp.asarray(fwd), jnp.asarray(bwd),
         )
         pfk = np.asarray(point_for_kp)
@@ -505,15 +506,12 @@ class Tracker:
     def _match_descriptors(self, frame, kff, desc, has_pt, kf_pids) -> int:
         """SearchByBoW(KF, Frame) equivalent: best-match with 0.7 ratio and
         rotation consistency (reference ORBmatcher.cpp:110-239)."""
-        d = hamming.hamming_matrix(jnp.asarray(desc), jnp.asarray(frame.desc))
-        mask = jnp.asarray(has_pt)[:, None] & jnp.asarray(frame.valid)[None, :]
-        idx, best, second = hamming.masked_two_smallest(d, mask)
-        idx, best, second = np.asarray(idx), np.asarray(best), np.asarray(second)
-        ok = (best < hamming.TH_LOW) & (best < 0.7 * second)
-        keep = matchers.rotation_consistency_mask(
-            jnp.asarray(kff.angle), jnp.asarray(frame.angle[idx]), jnp.asarray(ok)
+        idx, best, keep = jax.device_get(
+            self._jit_match_bow(
+                jnp.asarray(desc), jnp.asarray(has_pt), kff.dev.angle,
+                frame.dev.desc, frame.dev.valid, frame.dev.angle, 0.7,
+            )
         )
-        keep = np.asarray(keep)
         frame.point_ids[:] = -1
         # resolve collisions: best distance wins
         order = np.argsort(best)
@@ -648,8 +646,8 @@ class Tracker:
 
         kp_free = frame.valid & (frame.point_ids < 0)
         point_for_kp, _ = self._jit_match_points(
-            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
-            jnp.asarray(frame.u_right), jnp.asarray(frame.desc),
+            frame.dev.uv, frame.dev.octave,
+            frame.dev.u_right, frame.dev.desc,
             jnp.asarray(kp_free),
             jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
             jnp.asarray(padto(ur.astype(np.float32))),
