@@ -77,22 +77,94 @@ class Tracker:
                 T0, pw, obs, isig, ster, valid, self.cam
             )
         )
-        self._jit_match_frame = jax.jit(
-            lambda uv_c, oct_c, desc_c, val_c, ang_c, uv_p, oct_l, desc_l, val_p, ang_l, th, fwd, bwd: matchers.search_by_projection_frame(
-                uv_c, oct_c, desc_c, val_c, ang_c,
-                uv_p, oct_l, desc_l, val_p, ang_l,
-                sf, th, fwd, bwd,
-            )
-        )
-        self._jit_match_points = jax.jit(
-            lambda uv_c, oct_c, ur_c, desc_c, val_c, uv_p, ur_p, lvl_p, vcos, desc_p, val_p, th: matchers.search_by_projection_points(
-                uv_c, oct_c, ur_c, desc_c, val_c,
-                uv_p, ur_p, lvl_p, vcos, desc_p, val_p,
-                sf, th,
-            )
-        )
-
         self._jit_match_bow = jax.jit(matchers.search_by_bow)
+
+        # ---- fused per-frame steps: match + pose optimization in ONE
+        # device program each, so the host pays one round trip per stage
+        # instead of one per kernel (SURVEY.md §7 "one fused jit per stage").
+        camcfg = config.camera
+        W, H = float(camcfg.width), float(camcfg.height)
+        lvl_sig2 = jnp.asarray(self.frontend.level_sigma2, jnp.float32)
+
+        def _frame_obs(fd):
+            obs = jnp.concatenate(
+                [fd.uv, fd.u_right[:, None]], axis=1
+            ).astype(jnp.float32)
+            is_stereo = fd.u_right >= 0
+            inv_sig = 1.0 / matchers.lookup_level(lvl_sig2, fd.octave)
+            return obs, is_stereo, inv_sig
+
+        def _onehot_rows(idx, values):
+            """values[idx] as a one-hot matmul (no serialized TPU gather);
+            geometry positions demand precision='highest'."""
+            choice = matchers._choice_matrix(
+                jnp.clip(idx, 0, values.shape[0] - 1).astype(jnp.int32),
+                values.shape[0],
+            )
+            return jnp.einsum(
+                "sn,nd->sd", choice.astype(jnp.float32),
+                values.astype(jnp.float32), precision="highest",
+            )
+
+        def _motion_step(fd, pw_src, src_valid, oct_src, ang_src, desc_src,
+                         T_pred, th, fwd, bwd):
+            """TrackWithMotionModel device body: project last-frame points
+            under the predicted pose, match (with the reference's widen-
+            on-few retry, Tracking.cpp:736-741), then pose-optimize."""
+            Rcw, tcw = T_pred[:3, :3], T_pred[:3, 3]
+            pc = jnp.einsum(
+                "ij,nj->ni", Rcw, pw_src, precision="highest"
+            ) + tcw
+            z = pc[:, 2]
+            zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+            u = camcfg.fx * pc[:, 0] / zs + camcfg.cx
+            v = camcfg.fy * pc[:, 1] / zs + camcfg.cy
+            in_img = (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+            proj_valid = src_valid & in_img
+            uvp = jnp.stack([u, v], axis=-1).astype(jnp.float32)
+
+            def match(t):
+                pfk, _ = matchers.search_by_projection_frame(
+                    fd.uv, fd.octave, fd.desc, fd.valid, fd.angle,
+                    uvp, oct_src, desc_src, proj_valid, ang_src,
+                    sf, t, fwd, bwd,
+                )
+                return pfk
+
+            pfk_a = match(th)
+            pfk = jnp.where(jnp.sum(pfk_a >= 0) < 20, match(2.0 * th), pfk_a)
+            matched = pfk >= 0
+            pw_kp = _onehot_rows(pfk, pw_src)
+            obs, is_stereo, inv_sig_kp = _frame_obs(fd)
+            res = pose_opt.pose_optimize(
+                T_pred, pw_kp, obs, inv_sig_kp, is_stereo, matched, self.cam
+            )
+            return pfk, res
+
+        self._jit_motion_step = jax.jit(_motion_step)
+
+        def _local_step(fd, kp_free, pw_exist, valid_exist, cand_uvp, cand_ur,
+                        cand_level, cand_vcos, cand_desc, cand_visible,
+                        cand_pos, T0, th):
+            """TrackLocalMap device body: match unmatched keypoints against
+            the projected local points, merge with existing associations,
+            pose-optimize."""
+            pfk, _ = matchers.search_by_projection_points(
+                fd.uv, fd.octave, fd.u_right, fd.desc, kp_free,
+                cand_uvp, cand_ur, cand_level, cand_vcos, cand_desc,
+                cand_visible, sf, th,
+            )
+            new_match = pfk >= 0
+            pw_new = _onehot_rows(pfk, cand_pos)
+            valid_i = valid_exist | new_match
+            pw_i = jnp.where(valid_exist[:, None], pw_exist, pw_new)
+            obs, is_stereo, inv_sig_kp = _frame_obs(fd)
+            res = pose_opt.pose_optimize(
+                T0, pw_i, obs, inv_sig_kp, is_stereo, valid_i, self.cam
+            )
+            return pfk, res
+
+        self._jit_local_step = jax.jit(_local_step)
 
     # ------------------------------------------------------------------
 
@@ -389,25 +461,18 @@ class Tracker:
         return n_map
 
     def _track_with_motion_model(self, frame: FrameHost) -> bool:
-        """Reference Tracking::TrackWithMotionModel (Tracking.cpp:714-772)."""
-        lf = self.last_frame
-        frame.Tcw = (self.velocity @ lf.Tcw).astype(np.float32)
+        """Reference Tracking::TrackWithMotionModel (Tracking.cpp:714-772).
 
-        th = 15.0 if self.config.monocular else 7.0  # reference Tracking.cpp:726-730
-        n = self._match_last_frame(frame, th=th)
-        if n < 20:
-            frame.point_ids[:] = -1
-            n = self._match_last_frame(frame, th=2 * th)
-        if n < 20:
-            return False
-        self._pose_optimize(frame)
-        n_map = self._discard_outliers(frame)
-        return n_map >= 10
-
-    def _match_last_frame(self, frame: FrameHost, th: float) -> int:
+        Projection matching (with the widen-on-few retry) and the pose
+        optimization run as ONE fused device program; the host assembles
+        the last frame's point table and applies the results."""
         lf = self.last_frame
         N = self._N
-        # project last-frame map points into the current (predicted) frame
+        T_pred = (self.velocity @ lf.Tcw).astype(np.float32)
+        frame.Tcw = T_pred
+        th = 15.0 if self.config.monocular else 7.0  # reference Tracking.cpp:726-730
+
+        # last-frame source table: world position + distinctive descriptor
         pids = lf.point_ids.copy()
         has_pt = pids >= 0
         pw = np.zeros((N, 3), np.float64)
@@ -436,32 +501,20 @@ class Tracker:
                 has_pt[i] = True
                 is_temp[i] = True
                 n_vo += 1
-        Rcw, tcw = frame.Tcw[:3, :3].astype(np.float64), frame.Tcw[:3, 3].astype(np.float64)
-        pc = pw @ Rcw.T + tcw
-        z = pc[:, 2]
-        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
-        cam = self.config.camera
-        u = cam.fx * pc[:, 0] / zs + cam.cx
-        v = cam.fy * pc[:, 1] / zs + cam.cy
-        in_img = (z > 0) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
-        proj_valid = has_pt & in_img
 
         # forward/backward along optical axis (reference ORBmatcher.cpp:1184-1194)
-        Twc = np.linalg.inv(frame.Tcw)
+        Twc = np.linalg.inv(T_pred)
         tlc = (lf.Tcw @ Twc)[:3, 3]
         b = self.config.baseline
         fwd, bwd = bool(tlc[2] > b), bool(-tlc[2] > b)
 
-        point_for_kp, _ = self._jit_match_frame(
-            frame.dev.uv, frame.dev.octave,
-            frame.dev.desc, frame.dev.valid,
-            frame.dev.angle,
-            jnp.asarray(np.stack([u, v], -1), jnp.float32),
-            lf.dev.octave, jnp.asarray(desc),
-            jnp.asarray(proj_valid), lf.dev.angle,
-            th, jnp.asarray(fwd), jnp.asarray(bwd),
+        pfk, res = jax.device_get(
+            self._jit_motion_step(
+                frame.dev, jnp.asarray(pw, jnp.float32), jnp.asarray(has_pt),
+                lf.dev.octave, lf.dev.angle, jnp.asarray(desc),
+                jnp.asarray(T_pred), th, jnp.asarray(fwd), jnp.asarray(bwd),
+            )
         )
-        pfk = np.asarray(point_for_kp)
         frame.point_ids[:] = -1
         frame.temp_points = {}
         hit = pfk >= 0
@@ -471,7 +524,12 @@ class Tracker:
                 frame.temp_points[int(i)] = pw[src].copy()
             else:
                 frame.point_ids[i] = pids[src]
-        return int(hit.sum())
+        if int(hit.sum()) < 20:
+            return False
+        frame.Tcw = res.Tcw
+        frame.outlier = hit & ~res.inlier
+        n_map = self._discard_outliers(frame)
+        return n_map >= 10
 
     def _track_reference_keyframe(self, frame: FrameHost) -> bool:
         """Reference Tracking::TrackReferenceKeyFrame (Tracking.cpp:604-647).
@@ -527,10 +585,12 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _track_local_map(self, frame: FrameHost) -> bool:
-        """Reference Tracking::TrackLocalMap (Tracking.cpp:777-821)."""
+        """Reference Tracking::TrackLocalMap (Tracking.cpp:777-821).
+
+        Local-point projection matching and the pose optimization run as
+        ONE fused device program (SearchLocalPoints + PoseOptimization)."""
         self._update_local_map(frame)
         self._search_local_points(frame)
-        self._pose_optimize(frame)
 
         self.n_inliers = 0
         for i in np.nonzero(frame.point_ids >= 0)[0]:
@@ -595,14 +655,35 @@ class Tracker:
         # local points are what MapDrawer highlights in red
         self.map.reference_points = pts
 
+    def _assemble_existing(self, frame: FrameHost):
+        """Per-keypoint world positions for the frame's current matches
+        (map points + localization-mode VO points)."""
+        N = self._N
+        pw = np.zeros((N, 3), np.float32)
+        valid = np.zeros(N, bool)
+        for i in np.nonzero(frame.point_ids >= 0)[0]:
+            pid = int(frame.point_ids[i])
+            if pid in self.map.pt_valid:
+                pw[i] = self.map.pt_pos[pid]
+                valid[i] = True
+            else:
+                frame.point_ids[i] = -1
+        for i, pos in frame.temp_points.items():
+            if not valid[i]:
+                pw[i] = pos
+                valid[i] = True
+        return pw, valid
+
     def _search_local_points(self, frame: FrameHost):
-        """SearchLocalPoints (Tracking.cpp:979-1038): frustum check + device
-        projection matching of unmatched local points."""
+        """SearchLocalPoints (Tracking.cpp:979-1038) + PoseOptimization as
+        one fused dispatch: frustum check on host, projection matching of
+        unmatched local points + pose refinement on device."""
         matched = set(int(p) for p in frame.point_ids[frame.point_ids >= 0])
         for pid in matched:
             self.map.pt_visible[pid] = self.map.pt_visible.get(pid, 0) + 1
         cand = [p for p in self.local_points if p not in matched]
         if not cand:
+            self._pose_optimize(frame)
             return
         pos, desc, normal, dmin, dmax = self.map.points_array(cand)
         Rcw = frame.Tcw[:3, :3].astype(np.float64)
@@ -627,6 +708,7 @@ class Tracker:
         for j in np.nonzero(visible)[0]:
             self.map.pt_visible[cand[j]] = self.map.pt_visible.get(cand[j], 0) + 1
         if not visible.any():
+            self._pose_optimize(frame)
             return
         # predicted scale level (MapPoint::PredictScale)
         ratio = dmax / np.maximum(dist, 1e-9)
@@ -645,22 +727,30 @@ class Tracker:
             return out
 
         kp_free = frame.valid & (frame.point_ids < 0)
-        point_for_kp, _ = self._jit_match_points(
-            frame.dev.uv, frame.dev.octave,
-            frame.dev.u_right, frame.dev.desc,
-            jnp.asarray(kp_free),
-            jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
-            jnp.asarray(padto(ur.astype(np.float32))),
-            jnp.asarray(padto(level)),
-            jnp.asarray(padto(viewcos.astype(np.float32))),
-            jnp.asarray(padto(desc)),
-            jnp.asarray(padto(visible)),
-            th,
+        pw_exist, valid_exist = self._assemble_existing(frame)
+        pfk, res = jax.device_get(
+            self._jit_local_step(
+                frame.dev, jnp.asarray(kp_free),
+                jnp.asarray(pw_exist), jnp.asarray(valid_exist),
+                jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
+                jnp.asarray(padto(ur.astype(np.float32))),
+                jnp.asarray(padto(level)),
+                jnp.asarray(padto(viewcos.astype(np.float32))),
+                jnp.asarray(padto(desc)),
+                jnp.asarray(padto(visible)),
+                jnp.asarray(padto(pos.astype(np.float32))),
+                jnp.asarray(frame.Tcw), th,
+            )
         )
-        pfk = np.asarray(point_for_kp)
+        new_hit = np.zeros(self._N, bool)
         for i in np.nonzero(pfk >= 0)[0]:
             if frame.point_ids[i] < 0 and pfk[i] < len(cand):
                 frame.point_ids[i] = cand[int(pfk[i])]
+                new_hit[i] = True
+        all_valid = valid_exist | new_hit
+        if int(all_valid.sum()) >= 3:
+            frame.Tcw = res.Tcw
+            frame.outlier = all_valid & ~res.inlier
 
     # ------------------------------------------------------------------
 
