@@ -61,22 +61,104 @@ def transform_words(voc: Vocabulary, desc: jax.Array, valid: jax.Array):
     return jnp.where(valid, words, -1)
 
 
-def bow_vector(voc: Vocabulary, words: jax.Array) -> jax.Array:
-    """Dense L1-normalized tf-idf vector [n_words]. Fine for vocabularies up
+def bow_vector(voc: Vocabulary, words: jax.Array, norm: str | None = "l1") -> jax.Array:
+    """Dense normalized tf-idf vector [n_words]. Fine for vocabularies up
     to ~64k words (tests use ~1k; EuRoC-scale 1M-word vocab uses the sparse
-    scoring path in database.py)."""
+    scoring path in database.py).
+
+    norm: "l1" (DBoW2 default for the L1/chi2/KL/Bhattacharyya scorers),
+    "l2" (the L2 scorer), or None (dot-product scorer — no normalization;
+    ScoringObject.h:74-89 per-scorer LNorm declarations)."""
     w = voc.word_weight
     v = jnp.zeros(voc.n_words, jnp.float32).at[
         jnp.where(words >= 0, words, voc.n_words)
     ].add(jnp.where(words >= 0, w[jnp.clip(words, 0, voc.n_words - 1)], 0.0),
           mode="drop")
-    n = jnp.sum(jnp.abs(v))
+    if norm is None:
+        return v
+    if norm == "l2":
+        n = jnp.sqrt(jnp.sum(v * v))
+    else:
+        n = jnp.sum(jnp.abs(v))
     return v / jnp.where(n > 0, n, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# scoring — all six DBoW2 metrics (ScoringObject.cpp). The reference's ORB
+# vocabulary selects L1 (TemplatedVocabulary.h:468-471); the rest are here
+# for full vocabulary parity. Each expects vectors built with the norm in
+# SCORING_NORM[method].
+# ---------------------------------------------------------------------------
+
+_LOG_EPS = float(np.log(np.finfo(np.float64).eps))
+
+#: normalization each scorer expects (ScoringObject.h:74-89)
+SCORING_NORM = {
+    "l1": "l1",
+    "l2": "l2",
+    "chi_square": "l1",
+    "kl": "l1",
+    "bhattacharyya": "l1",
+    "dot_product": None,
+}
+
+
 def l1_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
-    """DBoW2 L1 score on normalized vectors (ScoringObject.cpp:27-60)."""
+    """DBoW2 L1 score on L1-normalized vectors (ScoringObject.cpp:23-68):
+    1 - 0.5*||v-w||_1, in [0, 1]."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2))
+
+
+def l2_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 L2 score on L2-normalized vectors (ScoringObject.cpp:73-119):
+    1 - sqrt(1 - <v, w>), in [0, 1]."""
+    s = jnp.minimum(jnp.sum(v1 * v2), 1.0)
+    return 1.0 - jnp.sqrt(1.0 - s)
+
+
+def chi_square_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 chi-square score on L1-normalized vectors
+    (ScoringObject.cpp:125-169): 2*sum(v*w/(v+w)), in [0, 1]."""
+    denom = v1 + v2
+    terms = jnp.where(denom > 0, v1 * v2 / jnp.where(denom > 0, denom, 1.0), 0.0)
+    return 2.0 * jnp.sum(terms)
+
+
+def kl_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 KL divergence of v1 from v2 on L1-normalized vectors
+    (ScoringObject.cpp:174-221): sum over v_i>0 of v*log(v/w), with
+    log(eps) standing in where w_i == 0. Unscaled; LOWER is better."""
+    logw = jnp.where(v2 > 0, jnp.log(jnp.where(v2 > 0, v2, 1.0)), _LOG_EPS)
+    logv = jnp.log(jnp.where(v1 > 0, v1, 1.0))
+    return jnp.sum(jnp.where(v1 > 0, v1 * (logv - logw), 0.0))
+
+
+def bhattacharyya_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 Bhattacharyya coefficient on L1-normalized vectors
+    (ScoringObject.cpp:226-262): sum(sqrt(v*w)), in [0, 1]."""
+    return jnp.sum(jnp.sqrt(v1 * v2))
+
+
+def dot_product_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 dot-product score on unnormalized vectors
+    (ScoringObject.cpp:267-303). Unscaled."""
+    return jnp.sum(v1 * v2)
+
+
+_SCORERS = {
+    "l1": l1_score,
+    "l2": l2_score,
+    "chi_square": chi_square_score,
+    "kl": kl_score,
+    "bhattacharyya": bhattacharyya_score,
+    "dot_product": dot_product_score,
+}
+
+
+def score(v1: jax.Array, v2: jax.Array, method: str = "l1") -> jax.Array:
+    """Score two BoW vectors with any DBoW2 metric. Vectors must be built
+    with bow_vector(..., norm=SCORING_NORM[method])."""
+    return _SCORERS[method](v1, v2)
 
 
 def transform_jit(voc: Vocabulary, desc, valid):

@@ -44,6 +44,41 @@ class TestReferenceGoldenFiles:
         rmse = ate_rmse(t1[:n, 1:4], t2[:n, 1:4])
         assert rmse < 0.10, f"golden runs disagree by {rmse:.3f} m"
 
+    def test_associate_cli_pairs_golden_runs(self, tmp_path, capsys):
+        """associate.py (reference associate.py:73-108 contract) pairs two
+        stamped files one-to-one at nearest timestamps."""
+        from orbslam2_tpu.evaluation import associate as assoc
+
+        first = assoc.read_file_list(
+            os.path.join(REF_RESULT, "CameraTrajectory_MH01_1.txt")
+        )
+        second = assoc.read_file_list(
+            os.path.join(REF_RESULT, "CameraTrajectory_MH01_2.txt")
+        )
+        matches = assoc.associate(first, second, offset=0.0, max_difference=0.02)
+        assert len(matches) > 0.9 * min(len(first), len(second))
+        # one-to-one
+        assert len({a for a, _ in matches}) == len(matches)
+        assert len({b for _, b in matches}) == len(matches)
+        for a, b in matches[:100]:
+            assert abs(a - b) < 0.02
+
+    def test_associate_offset_and_greedy_order(self):
+        """Offset shifts the second stream; greedy nearest-first wins ties
+        exactly like the reference's sort-by-|dt| loop."""
+        from orbslam2_tpu.evaluation.associate import associate
+
+        first = {0.0: ["a"], 1.0: ["b"]}
+        second = {0.26: ["x"], 1.24: ["y"]}
+        # offset -0.25 aligns second onto first
+        m = associate(first, second, offset=-0.25, max_difference=0.02)
+        assert m == [(0.0, 0.26), (1.0, 1.24)]
+        # without offset nothing is within 0.02
+        assert associate(first, second, 0.0, 0.02) == []
+        # two firsts compete for one second: nearest wins
+        m = associate({0.0: ["a"], 0.015: ["b"]}, {0.014: ["x"]}, 0.0, 0.02)
+        assert m == [(0.015, 0.014)]
+
     def test_our_writer_matches_golden_structure(self, tmp_path):
         """A trajectory written by our saver must round-trip through the
         same parser with the same column structure as the golden files."""

@@ -86,6 +86,56 @@ class TestVocabulary:
         assert v.k == 2 and v.depth == 2 and v.n_words == 4
 
 
+class TestScorers:
+    """All six DBoW2 scoring metrics (reference ScoringObject.cpp)."""
+
+    def _vecs(self, tiny_vocab, norm):
+        voc, descs = tiny_vocab
+
+        def vec(d):
+            dj = jnp.asarray(np.ascontiguousarray(d).view(np.uint32).reshape(-1, 8))
+            w = bow.transform_words(voc, dj, jnp.ones(len(d), bool))
+            return bow.bow_vector(voc, w, norm=norm)
+
+        return vec(descs[:300]), vec(descs[:300].copy()), vec(descs[1000:1300])
+
+    @pytest.mark.parametrize("method", ["l1", "l2", "chi_square", "bhattacharyya"])
+    def test_self_score_is_one(self, tiny_vocab, method):
+        va, vb, _ = self._vecs(tiny_vocab, bow.SCORING_NORM[method])
+        assert abs(float(bow.score(va, vb, method)) - 1.0) < 1e-4
+
+    def test_kl_self_divergence_zero(self, tiny_vocab):
+        va, vb, _ = self._vecs(tiny_vocab, bow.SCORING_NORM["kl"])
+        assert abs(float(bow.score(va, vb, "kl"))) < 1e-5
+
+    @pytest.mark.parametrize(
+        "method", ["l1", "l2", "chi_square", "bhattacharyya", "dot_product"]
+    )
+    def test_discriminates_places(self, tiny_vocab, method):
+        va, _, vf = self._vecs(tiny_vocab, bow.SCORING_NORM[method])
+        # same place scores strictly higher than a different place
+        assert float(bow.score(va, va, method)) > float(bow.score(va, vf, method))
+
+    def test_kl_discriminates_places(self, tiny_vocab):
+        va, _, vf = self._vecs(tiny_vocab, bow.SCORING_NORM["kl"])
+        # KL is a divergence: lower is better
+        assert float(bow.score(va, va, "kl")) < float(bow.score(va, vf, "kl"))
+
+    def test_l2_matches_closed_form(self, tiny_vocab):
+        va, _, vf = self._vecs(tiny_vocab, "l2")
+        expect = 1.0 - np.sqrt(max(0.0, 1.0 - min(1.0, float(np.sum(
+            np.asarray(va) * np.asarray(vf))))))
+        assert abs(float(bow.score(va, vf, "l2")) - expect) < 1e-6
+
+    def test_chi_square_matches_sparse_semantics(self, tiny_vocab):
+        # dense formula must equal DBoW2's common-nonzero-words sum
+        va, _, vf = self._vecs(tiny_vocab, "l1")
+        a, f = np.asarray(va, np.float64), np.asarray(vf, np.float64)
+        common = (a > 0) & (f > 0) & (a + f != 0)
+        expect = 2.0 * np.sum(a[common] * f[common] / (a[common] + f[common]))
+        assert abs(float(bow.score(va, vf, "chi_square")) - expect) < 1e-6
+
+
 class TestKeyFrameDatabase:
     def test_reloc_candidates_rank_true_match(self, tiny_vocab):
         from orbslam2_tpu.slam.map import SlamMap
