@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--viewer-out", type=str, default=None,
                     help="directory for map snapshot PNGs")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument(
+        "--mesh", type=int, default=0,
+        help="shard whole-map passes (GBA, essential graph) over an "
+             "N-device mesh (with --cpu, set "
+             "XLA_FLAGS=--xla_force_host_platform_device_count=N)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -85,8 +91,14 @@ def main():
         )
         reloc = Relocalizer(cfg, frontend, slam_map, voc)
         tracker.relocalizer = reloc
+        mesh = None
+        if args.mesh > 1:
+            from orbslam2_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.mesh)
+            print(f"whole-map passes sharded over {mesh.devices.size}-device mesh")
         closer = LoopCloser(cfg, frontend, slam_map, reloc,
-                            local_mapper=tracker.local_mapper)
+                            local_mapper=tracker.local_mapper, mesh=mesh)
         tracker.local_mapper.on_processed = closer.insert_keyframe
 
     print(f"devices: {jax.devices()}")

@@ -46,6 +46,7 @@ class LoopCloser:
         relocalizer: Relocalizer,
         local_mapper=None,
         fix_scale: bool = True,
+        mesh=None,
     ):
         self.config = config
         self.frontend = frontend
@@ -53,6 +54,12 @@ class LoopCloser:
         self.reloc = relocalizer  # owns vocabulary + database
         self.local_mapper = local_mapper
         self.fix_scale = fix_scale
+        # optional jax.sharding.Mesh: runs the two whole-map passes (global
+        # BA, essential graph) sharded over it — the reference's
+        # long-context bottleneck (SURVEY §5), psum over ICI
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        self._dist_pg = None  # lazily-built distributed solvers
+        self._dist_gba = None
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.last_loop_kf = -MIN_LOOP_GAP
         self.n_loops_closed = 0
@@ -635,9 +642,22 @@ class LoopCloser:
                 np.array([k == self._matched_kf for k in kfs])
             ),
         )
-        V_opt, _ = posegraph.optimize_essential_graph_jit(
-            prob, fix_scale=self.fix_scale
-        )
+        if self.mesh is not None:
+            from ..parallel import dist_posegraph
+
+            if self._dist_pg is None:
+                self._dist_pg = dist_posegraph.make_distributed_posegraph(
+                    self.mesh, fix_scale=self.fix_scale
+                )
+            V_opt, _ = self._dist_pg(
+                dist_posegraph.pad_graph_edges_to_multiple(
+                    prob, self.mesh.devices.size
+                )
+            )
+        else:
+            V_opt, _ = posegraph.optimize_essential_graph_jit(
+                prob, fix_scale=self.fix_scale
+            )
         V_opt = jax.device_get(V_opt)  # one batched fetch
         R_opt, t_opt, s_opt = V_opt.R, V_opt.t, V_opt.s
 
@@ -684,8 +704,25 @@ class LoopCloser:
         )
         if prob is None:
             return
-        res = self._jit_gba(prob, self.frontend.camera, n_iters_first=5,
-                            n_iters_second=10)
+        if self.mesh is not None:
+            from ..parallel import dist_ba as dist_ba_mod
+
+            if self._dist_gba is None:
+                self._dist_gba = dist_ba_mod.make_distributed_ba_pm(
+                    self.mesh, self.frontend.camera,
+                    n_iters_first=5, n_iters_second=10,
+                )
+            P = prob.points.shape[0]
+            res = self._dist_gba(
+                dist_ba_mod.pad_points_to_multiple(prob, self.mesh.devices.size)
+            )
+            # un-pad so write-back shapes match the assembled problem
+            res = res._replace(
+                points=res.points[:P], edge_inlier=res.edge_inlier[:P]
+            )
+        else:
+            res = self._jit_gba(prob, self.frontend.camera, n_iters_first=5,
+                                n_iters_second=10)
         # staged write-back (the mTcwGBA two-phase commit collapses to a
         # single phase in the host-sequenced pipeline)
         apply_pm_result(m, res, meta)

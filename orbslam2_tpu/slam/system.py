@@ -42,6 +42,7 @@ class System:
         use_viewer: bool = False,
         enable_loop_closing: bool = True,
         deferred_mapping: bool = False,
+        mesh=None,  # jax.sharding.Mesh: shard whole-map passes (GBA, pose graph)
     ):
         self.sensor = sensor
         self.config = settings if isinstance(settings, SlamConfig) else load_config(settings)
@@ -82,6 +83,7 @@ class System:
                     self.config, self.frontend, self.map, self.relocalizer,
                     local_mapper=self.local_mapper,
                     fix_scale=(sensor != Sensor.MONOCULAR),
+                    mesh=mesh,
                 )
                 self.local_mapper.on_processed = self.loop_closer.insert_keyframe
             else:
