@@ -124,6 +124,4 @@ def apply_pm_result(m: SlamMap, res, meta: PMMeta):
         p = meta.pts[r] if r < len(meta.pts) else None
         if p is not None and p in m.pt_valid:
             m.erase_observation(p, int(meta.edge_kf[r, c]))
-    for p in meta.pts:
-        if p in m.pt_valid:
-            m.update_normal_and_depth(p)
+    m.update_normals_batch(meta.pts)

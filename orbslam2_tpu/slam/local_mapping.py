@@ -223,90 +223,132 @@ class LocalMapper:
             free1 = f1.valid & (self.map.kf_point[kf1] < 0)
 
     def _triangulate_pairs(self, kf1, kf2, pairs, T1, T2, O1, O2, ratio_factor):
-        """Triangulation + acceptance gates (reference LocalMapping.cpp:274-407)."""
+        """Triangulation + acceptance gates (reference LocalMapping.cpp:274-407),
+        vectorized over all matched pairs: one batched 4x4 SVD plus masked
+        gate math replaces the reference's per-pair loop."""
+        if not pairs:
+            return 0
         c = self.config.camera
         f1 = self.map.kf_frame[kf1]
         f2 = self.map.kf_frame[kf2]
         sig2 = self.frontend.level_sigma2
         sf = self.map.scale_factors
-        n_created = 0
-        for i1, i2 in pairs:
-            kp1, kp2 = f1.uv[i1], f2.uv[i2]
-            xn1 = np.array([(kp1[0] - c.cx) / c.fx, (kp1[1] - c.cy) / c.fy, 1.0])
-            xn2 = np.array([(kp2[0] - c.cx) / c.fx, (kp2[1] - c.cy) / c.fy, 1.0])
-            ray1 = T1[:3, :3].T @ xn1
-            ray2 = T2[:3, :3].T @ xn2
-            cos_rays = ray1 @ ray2 / (np.linalg.norm(ray1) * np.linalg.norm(ray2))
-            s1, s2 = f1.u_right[i1] >= 0, f2.u_right[i2] >= 0
-            cos_st1 = (
-                np.cos(2 * np.arctan2(self.config.baseline / 2, f1.depth[i1]))
-                if s1 else 2.0
+        i1 = np.asarray([p[0] for p in pairs], np.int64)
+        i2 = np.asarray([p[1] for p in pairs], np.int64)
+        M = len(pairs)
+
+        kp1 = f1.uv[i1].astype(np.float64)
+        kp2 = f2.uv[i2].astype(np.float64)
+        xn1 = np.stack(
+            [(kp1[:, 0] - c.cx) / c.fx, (kp1[:, 1] - c.cy) / c.fy, np.ones(M)], 1
+        )
+        xn2 = np.stack(
+            [(kp2[:, 0] - c.cx) / c.fx, (kp2[:, 1] - c.cy) / c.fy, np.ones(M)], 1
+        )
+        ray1 = xn1 @ T1[:3, :3]  # == (R1^T @ xn1^T)^T per pair
+        ray2 = xn2 @ T2[:3, :3]
+        cos_rays = np.einsum("ij,ij->i", ray1, ray2) / (
+            np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1)
+        )
+        s1 = f1.u_right[i1] >= 0
+        s2 = f2.u_right[i2] >= 0
+        b_half = self.config.baseline / 2
+        cos_st1 = np.where(
+            s1, np.cos(2 * np.arctan2(b_half, np.maximum(f1.depth[i1], 1e-9))), 2.0
+        )
+        cos_st2 = np.where(
+            s2, np.cos(2 * np.arctan2(b_half, np.maximum(f2.depth[i2], 1e-9))), 2.0
+        )
+        cos_stereo = np.minimum(cos_st1, cos_st2)
+
+        use_tri = (
+            (cos_rays < cos_stereo) & (cos_rays > 0)
+            & (s1 | s2 | (cos_rays < 0.9998))
+        )
+        use_s1 = ~use_tri & s1 & (cos_st1 < cos_st2)
+        use_s2 = ~use_tri & ~use_s1 & s2 & (cos_st2 < cos_st1)
+
+        # linear triangulation: batched SVD of the 4x4 DLT system
+        A = np.stack(
+            [
+                xn1[:, 0, None] * T1[2, :] - T1[0, :],
+                xn1[:, 1, None] * T1[2, :] - T1[1, :],
+                xn2[:, 0, None] * T2[2, :] - T2[0, :],
+                xn2[:, 1, None] * T2[2, :] - T2[1, :],
+            ],
+            axis=1,
+        )  # [M,4,4]
+        _, _, Vt = np.linalg.svd(A)
+        h = Vt[:, -1, :]
+        h_ok = np.abs(h[:, 3]) >= 1e-12
+        x_tri = h[:, :3] / np.where(h_ok, h[:, 3], 1.0)[:, None]
+
+        def unproject(f, T, idx):
+            z = f.depth[idx].astype(np.float64)
+            uv = f.uv[idx].astype(np.float64)
+            pc = np.stack(
+                [(uv[:, 0] - c.cx) * z / c.fx, (uv[:, 1] - c.cy) * z / c.fy, z], 1
             )
-            cos_st2 = (
-                np.cos(2 * np.arctan2(self.config.baseline / 2, f2.depth[i2]))
-                if s2 else 2.0
-            )
-            cos_stereo = min(cos_st1, cos_st2)
+            Twc = np.linalg.inv(T)
+            return pc @ Twc[:3, :3].T + Twc[:3, 3]
 
-            if cos_rays < cos_stereo and cos_rays > 0 and (s1 or s2 or cos_rays < 0.9998):
-                A = np.stack([
-                    xn1[0] * T1[2, :] - T1[0, :],
-                    xn1[1] * T1[2, :] - T1[1, :],
-                    xn2[0] * T2[2, :] - T2[0, :],
-                    xn2[1] * T2[2, :] - T2[1, :],
-                ])
-                _, _, Vt = np.linalg.svd(A)
-                h = Vt[-1]
-                if abs(h[3]) < 1e-12:
-                    continue
-                x3d = h[:3] / h[3]
-            elif s1 and cos_st1 < cos_st2:
-                x3d = self._unproject_kf(kf1, i1)
-            elif s2 and cos_st2 < cos_st1:
-                x3d = self._unproject_kf(kf2, i2)
-            else:
-                continue
+        x3d = np.where(
+            use_tri[:, None], x_tri,
+            np.where(use_s1[:, None], unproject(f1, T1, i1), unproject(f2, T2, i2)),
+        )
+        valid = (use_tri & h_ok) | use_s1 | use_s2
 
-            ok = True
-            for (T, f, i, st) in ((T1, f1, i1, s1), (T2, f2, i2, s2)):
-                pc = T[:3, :3] @ x3d + T[:3, 3]
-                if pc[2] <= 0:
-                    ok = False
-                    break
-                s2_lvl = sig2[f.octave[i]]
-                u = c.fx * pc[0] / pc[2] + c.cx
-                v = c.fy * pc[1] / pc[2] + c.cy
-                ex, ey = u - f.uv[i][0], v - f.uv[i][1]
-                if st:
-                    er = (u - c.bf / pc[2]) - f.u_right[i]
-                    if ex * ex + ey * ey + er * er > 7.8 * s2_lvl:
-                        ok = False
-                        break
-                else:
-                    if ex * ex + ey * ey > 5.991 * s2_lvl:
-                        ok = False
-                        break
-            if not ok:
-                continue
+        # reprojection gates in both keyframes (chi2 5.991 mono / 7.8 stereo)
+        for T, f, idx, st in ((T1, f1, i1, s1), (T2, f2, i2, s2)):
+            pc = x3d @ T[:3, :3].T + T[:3, 3]
+            z = pc[:, 2]
+            zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
+            u = c.fx * pc[:, 0] / zs + c.cx
+            v = c.fy * pc[:, 1] / zs + c.cy
+            uv = f.uv[idx].astype(np.float64)
+            ex = u - uv[:, 0]
+            ey = v - uv[:, 1]
+            er = np.where(st, (u - c.bf / zs) - f.u_right[idx], 0.0)
+            e2 = ex * ex + ey * ey + er * er
+            th = np.where(st, 7.8, 5.991) * sig2[f.octave[idx]]
+            valid &= (z > 0) & (e2 <= th)
 
-            d1 = np.linalg.norm(x3d - O1)
-            d2 = np.linalg.norm(x3d - O2)
-            if d1 <= 0 or d2 <= 0:
-                continue
-            ratio_dist = d2 / d1
-            ratio_oct = sf[f1.octave[i1]] / sf[f2.octave[i2]]
-            if ratio_dist * ratio_factor < ratio_oct or ratio_dist > ratio_oct * ratio_factor:
-                continue
+        # scale-consistency gate (LocalMapping.cpp:389-400)
+        d1 = np.linalg.norm(x3d - O1, axis=1)
+        d2 = np.linalg.norm(x3d - O2, axis=1)
+        ratio_dist = d2 / np.maximum(d1, 1e-12)
+        ratio_oct = sf[f1.octave[i1]] / sf[f2.octave[i2]]
+        valid &= (d1 > 0) & (d2 > 0)
+        valid &= ~(
+            (ratio_dist * ratio_factor < ratio_oct)
+            | (ratio_dist > ratio_oct * ratio_factor)
+        )
 
-            pid = self.map.add_point(x3d, kf1, f1.desc[i1])
-            self.map.add_observation(pid, kf1, int(i1))
-            self.map.add_observation(pid, kf2, int(i2))
-            self.map.compute_distinctive_descriptor(pid)
-            self.map.update_normal_and_depth(pid)
-            self.map.pt_first_kf_id[pid] = kf1
+        created = []
+        m = self.map
+        for j in np.nonzero(valid)[0]:
+            pid = m._next_pt
+            m._next_pt += 1
+            a, b2 = int(i1[j]), int(i2[j])
+            m.pt_pos[pid] = x3d[j].copy()
+            # distinctive descriptor of a fresh 2-obs point is the first
+            # observation's (both medians tie; argmin picks row 0)
+            m.pt_desc[pid] = np.asarray(f1.desc[a], np.uint32).copy()
+            m.pt_normal[pid] = np.zeros(3)
+            m.pt_min_dist[pid] = 0.0
+            m.pt_max_dist[pid] = 0.0
+            m.pt_obs[pid] = {kf1: a, kf2: b2}
+            m.pt_ref_kf[pid] = kf1
+            m.pt_first_kf_id[pid] = kf1
+            m.pt_visible[pid] = 1
+            m.pt_found[pid] = 1
+            m.pt_valid.add(pid)
+            m.kf_point[kf1][a] = pid
+            m.kf_point[kf2][b2] = pid
+            created.append(pid)
             self.recent_points.append(pid)
-            n_created += 1
-        return n_created
+        m.update_normals_batch(created)
+        return len(created)
 
     def _median_scene_depth(self, kf: int) -> float:
         """KeyFrame::ComputeSceneMedianDepth equivalent."""
@@ -354,10 +396,9 @@ class LocalMapper:
         self._fuse_into(kf, fuse_cands)
 
         # refresh point stats + connections of the current keyframe
-        for pid in self.map.kf_point[kf]:
-            if pid >= 0 and pid in self.map.pt_valid:
-                self.map.compute_distinctive_descriptor(int(pid))
-                self.map.update_normal_and_depth(int(pid))
+        pids = [int(p) for p in self.map.kf_point[kf] if p >= 0]
+        self.map.compute_distinctive_descriptors_batch(pids)
+        self.map.update_normals_batch(pids)
         self.map.update_connections(kf)
 
     def _fuse_into(self, kf: int, pids: List[int]):

@@ -23,6 +23,11 @@ from .frontend import FrameHost
 COVIS_THRESHOLD = 15  # min shared points for a covisibility edge (KeyFrame.cpp:277-368)
 
 
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
+
 def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Popcount Hamming distance between uint32-word descriptor arrays."""
     x = np.bitwise_xor(a, b).view(np.uint8)
@@ -165,6 +170,54 @@ class SlamMap:
         self.pt_valid.add(pid)
         return pid
 
+    def add_stereo_points_batch(self, frame: FrameHost, kf: int, idxs, cam) -> List[int]:
+        """Create one single-observation point per keypoint index: the
+        batched equivalent of the add_point/add_observation/descriptor/
+        normal sequence used by stereo initialization and keyframe creation
+        (reference Tracking.cpp:545-556, :935-957). For a fresh point the
+        distinctive descriptor IS the sole observation's descriptor, and
+        the normal/depth formulas are closed-form — computed vectorized.
+        `cam` is the camera config (fx/fy/cx/cy attributes)."""
+        idxs = np.asarray(idxs, np.int64)
+        if idxs.size == 0:
+            return []
+        T = self.kf_pose[kf].astype(np.float64)
+        cam_center = (-T[:3, :3].T @ T[:3, 3])
+        f = frame
+        # unproject all indices at once (reference Frame::UnprojectStereo)
+        z = f.depth[idxs].astype(np.float64)
+        uv = f.uv[idxs].astype(np.float64)
+        x = (uv[:, 0] - cam.cx) * z / cam.fx
+        y = (uv[:, 1] - cam.cy) * z / cam.fy
+        pc = np.stack([x, y, z], axis=1)
+        Twc = np.linalg.inv(T)
+        pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
+        v = pw - cam_center
+        dist = np.linalg.norm(v, axis=1)
+        normals = v / np.maximum(dist, 1e-12)[:, None]
+        levels = f.octave[idxs]
+        maxd = dist * self.scale_factors[levels]
+        mind = maxd / self.scale_factors[-1]
+        pids = []
+        for j, i in enumerate(idxs):
+            i = int(i)
+            pid = self._next_pt
+            self._next_pt += 1
+            self.pt_pos[pid] = pw[j]
+            self.pt_desc[pid] = np.asarray(f.desc[i], np.uint32).copy()
+            self.pt_normal[pid] = normals[j]
+            self.pt_min_dist[pid] = float(mind[j])
+            self.pt_max_dist[pid] = float(maxd[j])
+            self.pt_obs[pid] = {kf: i}
+            self.pt_ref_kf[pid] = kf
+            self.pt_first_kf_id[pid] = kf
+            self.pt_visible[pid] = 1
+            self.pt_found[pid] = 1
+            self.pt_valid.add(pid)
+            self.kf_point[kf][i] = pid
+            pids.append(pid)
+        return pids
+
     def add_observation(self, pid: int, kf: int, idx: int):
         self.pt_obs[pid][kf] = idx
         self.kf_point[kf][idx] = pid
@@ -260,6 +313,120 @@ class SlamMap:
         level = int(self.kf_frame[ref].octave[idx]) if idx is not None else 0
         self.pt_max_dist[pid] = dist * self.scale_factors[level]
         self.pt_min_dist[pid] = self.pt_max_dist[pid] / self.scale_factors[-1]
+
+    # ---- batched variants of the per-point maintenance methods: the
+    # per-keyframe pipeline touches hundreds-to-thousands of points per
+    # step, and per-point numpy calls dominated the host profile. Same
+    # semantics as the scalar versions above (reference MapPoint.cpp:224-289
+    # and :341-399), one vectorized pass.
+
+    def compute_distinctive_descriptors_batch(self, pids):
+        """Batched ComputeDistinctiveDescriptors over many points."""
+        todo, descs = [], []
+        for p in pids:
+            if p not in self.pt_valid:
+                continue
+            obs = [
+                (k, i) for k, i in self.pt_obs[p].items() if k in self.kf_valid
+            ]
+            if len(obs) == 1:
+                k, i = obs[0]
+                self.pt_desc[p] = self.kf_frame[k].desc[i].copy()
+            elif len(obs) > 1:
+                todo.append(p)
+                descs.append(
+                    np.stack([self.kf_frame[k].desc[i] for k, i in obs])
+                )
+        if not todo:
+            return
+        D = max(len(d) for d in descs)
+        P = len(todo)
+        arr = np.zeros((P, D, 8), np.uint32)
+        cnt = np.zeros(P, np.int64)
+        for i, d in enumerate(descs):
+            arr[i, : len(d)] = d
+            cnt[i] = len(d)
+        x = np.bitwise_xor(arr[:, :, None, :], arr[:, None, :, :]).view(np.uint8)
+        dist = _POPCOUNT8[x].sum(axis=-1).astype(np.float64)  # [P, D, D]
+        # mask invalid columns to +inf so sorting pushes them past the
+        # valid prefix; np.median over the valid count via two middles
+        col_valid = np.arange(D)[None, :] < cnt[:, None]
+        dist = np.where(col_valid[:, None, :], dist, np.inf)
+        dist.sort(axis=-1)
+        lo = (cnt - 1) // 2
+        hi = cnt // 2
+        lo_v = np.take_along_axis(
+            dist, np.broadcast_to(lo[:, None, None], (P, D, 1)), axis=2
+        )[..., 0]
+        hi_v = np.take_along_axis(
+            dist, np.broadcast_to(hi[:, None, None], (P, D, 1)), axis=2
+        )[..., 0]
+        med = 0.5 * (lo_v + hi_v)  # [P, D]
+        med = np.where(col_valid, med, np.inf)
+        best = np.argmin(med, axis=1)
+        for i, p in enumerate(todo):
+            self.pt_desc[p] = arr[i, best[i]].copy()
+
+    def update_normals_batch(self, pids):
+        """Batched UpdateNormalAndDepth over many points."""
+        rows_p, rows_kf = [], []
+        keep, pos_l, ref_l, lvl_l = [], [], [], []
+        kf_row: Dict[int, int] = {}
+        centers: List[np.ndarray] = []
+
+        def _row(kf: int) -> int:
+            r = kf_row.get(kf)
+            if r is None:
+                r = len(centers)
+                kf_row[kf] = r
+                centers.append(self.kf_center(kf))
+            return r
+
+        for p in pids:
+            if p not in self.pt_valid:
+                continue
+            obs = self.pt_obs.get(p)
+            if not obs:
+                continue
+            valid_kfs = [k for k in obs if k in self.kf_valid]
+            if not valid_kfs:
+                continue
+            i = len(keep)
+            keep.append(p)
+            pos_l.append(self.pt_pos[p])
+            for k in valid_kfs:
+                rows_p.append(i)
+                rows_kf.append(_row(k))
+            ref = self.pt_ref_kf.get(p)
+            if ref not in self.kf_valid:
+                ref = next(iter(obs))
+            ref_l.append(_row(ref))
+            idx = obs.get(ref)
+            lvl_l.append(
+                int(self.kf_frame[ref].octave[idx]) if idx is not None else 0
+            )
+        if not keep:
+            return
+        P = len(keep)
+        pos = np.asarray(pos_l, np.float64)
+        C = np.asarray(centers, np.float64)
+        rp = np.asarray(rows_p)
+        rk = np.asarray(rows_kf)
+        v = pos[rp] - C[rk]
+        n = np.linalg.norm(v, axis=1)
+        ok = n > 1e-12
+        v = np.where(ok[:, None], v / np.maximum(n, 1e-12)[:, None], 0.0)
+        sums = np.zeros((P, 3))
+        np.add.at(sums, rp, v)
+        cnt = np.bincount(rp[ok], minlength=P).astype(np.float64)
+        dist = np.linalg.norm(pos - C[np.asarray(ref_l)], axis=1)
+        maxd = dist * self.scale_factors[np.asarray(lvl_l)]
+        mind = maxd / self.scale_factors[-1]
+        for i, p in enumerate(keep):
+            if cnt[i] > 0:
+                self.pt_normal[p] = sums[i] / cnt[i]
+                self.pt_max_dist[p] = float(maxd[i])
+                self.pt_min_dist[p] = float(mind[i])
 
     def predict_scale(self, pid: int, dist: float) -> int:
         """Reference MapPoint::PredictScale (MapPoint.cpp:367-399)."""

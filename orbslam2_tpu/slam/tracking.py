@@ -260,15 +260,11 @@ class Tracker:
             return
         frame.Tcw = np.eye(4, dtype=np.float32)
         kf = self.map.add_keyframe(frame, frame.Tcw)
-        n_pts = 0
-        for i in np.nonzero(frame.valid & (frame.depth > 0))[0]:
-            pos = self._unproject(frame, int(i))
-            pid = self.map.add_point(pos, kf, frame.desc[i])
-            self.map.add_observation(pid, kf, int(i))
-            self.map.compute_distinctive_descriptor(pid)
-            self.map.update_normal_and_depth(pid)
-            frame.point_ids[i] = pid
-            n_pts += 1
+        idxs = np.nonzero(frame.valid & (frame.depth > 0))[0]
+        pids = self.map.add_stereo_points_batch(
+            frame, kf, idxs, self.config.camera
+        )
+        frame.point_ids[idxs] = pids
         self.map.kf_point[kf] = frame.point_ids.copy()
         self.map.keyframe_origins.append(kf)
         self.ref_kf = kf
@@ -823,29 +819,31 @@ class Tracker:
                 self.local_mapper.insert_keyframe(kf)
             self.last_kf_id = frame.frame_id
             return
-        # create close stereo points not yet mapped
+        # create close stereo points not yet mapped; the reference walks
+        # depth-ascending and stops past ThDepth once 100 points exist
+        # (Tracking.cpp:935-975) — both loop branches count, so the cutoff
+        # is position-only and computes vectorized
         depth_ok = frame.valid & (frame.depth > 0)
         order = np.argsort(frame.depth[depth_ok])
         idxs = np.nonzero(depth_ok)[0][order]
-        n_points = 0
+        stop = (frame.depth[idxs] > self.config.depth_threshold) & (
+            np.arange(1, len(idxs) + 1) > 100
+        )
+        hits = np.nonzero(stop)[0]
+        if hits.size:
+            idxs = idxs[: hits[0] + 1]
+        create = []
         for i in idxs:
             i = int(i)
             pid = int(frame.point_ids[i])
-            create = pid < 0 or pid not in self.map.pt_valid or (
+            if pid < 0 or pid not in self.map.pt_valid or (
                 self.map.n_observations(pid) < 1
-            )
-            if create:
-                pos = self._unproject(frame, i)
-                new_pid = self.map.add_point(pos, kf, frame.desc[i])
-                self.map.add_observation(new_pid, kf, i)
-                self.map.compute_distinctive_descriptor(new_pid)
-                self.map.update_normal_and_depth(new_pid)
-                frame.point_ids[i] = new_pid
-                n_points += 1
-            else:
-                n_points += 1
-            if frame.depth[i] > self.config.depth_threshold and n_points > 100:
-                break
+            ):
+                create.append(i)
+        pids = self.map.add_stereo_points_batch(
+            frame, kf, np.asarray(create, np.int64), self.config.camera
+        )
+        frame.point_ids[create] = pids
         self.map.kf_point[kf] = frame.point_ids.copy()
         self.map.update_connections(kf)
         if self.local_mapper is not None:
