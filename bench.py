@@ -11,10 +11,13 @@ over the 8-level pyramid + stereo matching, EuRoC-sized 752x480 frames,
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Method notes: dispatches are pipelined (async enqueue, single block at
-the end) so the number reflects device throughput rather than tunnel
-round-trip latency; a persistent compilation cache keeps warmup short on
-repeat runs.
+Method notes: dispatches are pipelined (async enqueue, one sync at the
+end) so the number reflects device throughput rather than tunnel
+round-trip latency. Synchronization is a VALUE fetch of a reduction of
+the final dispatch's output — the device stream is in-order, so this
+proves all N dispatches completed (`block_until_ready` does not reliably
+synchronize over the tunnel transport). A persistent compilation cache
+keeps warmup short on repeat runs.
 """
 
 import json
@@ -58,17 +61,23 @@ def main():
         imL, imR = world.render_stereo(T)
         frames.append(jnp.asarray(np.stack([imL, imR]), jnp.float32))
 
-    # warmup / compile
-    out = jax.block_until_ready(frontend(frames[0]))
-    n_matches = int(np.asarray(out[4]).sum())
+    @jax.jit
+    def reduce_last(depth):
+        return jnp.sum(depth)
 
-    # pipelined throughput: enqueue everything, block once
-    N = 60
-    outs = []
+    # warmup / compile both programs, force one value fetch
+    out = frontend(frames[0])
+    n_matches = int(np.asarray(out[4]).sum())
+    _ = float(reduce_last(out[3]))
+
+    # pipelined throughput: enqueue everything, then fetch a VALUE that
+    # depends on the final dispatch (in-order stream => syncs all N)
+    N = 240
     t0 = time.perf_counter()
+    last = None
     for i in range(N):
-        outs.append(frontend(frames[i % len(frames)]))
-    jax.block_until_ready(outs)
+        last = frontend(frames[i % len(frames)])[3]
+    _ = float(reduce_last(last))
     dt = time.perf_counter() - t0
     fps = N / dt
 

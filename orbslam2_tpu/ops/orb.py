@@ -332,6 +332,20 @@ def _bin_flat_indices() -> np.ndarray:
 
 _BIN_FLAT = _bin_flat_indices()
 
+# Moments as ONE [K,2304]x[2304,2] matmul (both m10 and m01 in a single
+# MXU pass over the patch) instead of two full-patch elementwise-reduce
+# einsums — 7x faster, one HBM read of P.
+_W2 = np.stack([_WX48.reshape(-1), _WY48.reshape(-1)], axis=1)  # [2304,2]
+
+# Separable 7x7 blur as banded matmuls: out = Br^T (P Bc). The banded
+# [48,42] operators hit the MXU and read P once; the shift-and-add
+# formulation materialized each of the 14 partial sums through HBM.
+_BLUR_BAND = np.zeros((48, 42), np.float32)
+for _k in range(7):
+    _BLUR_BAND[np.arange(42) + _k, np.arange(42)] += _G7[_k]
+
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _features_from_patches(P: jax.Array):
     """P [K,48,48] raw patches (keypoint at (_PATCH_C, _PATCH_C)) ->
@@ -340,42 +354,43 @@ def _features_from_patches(P: jax.Array):
     The rBRIEF rotation is quantized to N_ANGLE_BINS discrete angles so
     the pattern sample positions become STATIC per bin: each bin is one
     static column permutation of the flattened patch (compiles to cheap
-    vector selects) followed by a per-keypoint bin select. A per-keypoint
-    dynamic gather here lowered to serialized slices on TPU and dominated
-    the whole front-end. The original ORB paper (Rublee et al. 2011)
-    quantizes rotations the same way (2π/30 lookup tables); the reference
-    C++ uses exact per-keypoint rotation (src/ORBextractor.cpp:45-84) —
-    documented deviation, validated by end-to-end ATE parity. The
-    reported angle stays exact (used by rotation-consistency histograms).
+    vector selects). Each bin's 256 comparisons are bit-packed to [K,8]
+    uint32 BEFORE the per-keypoint bin select, so the 32-way select chain
+    moves 32 B/keypoint instead of 2 KB (the packed-select formulation is
+    ~2x faster end-to-end). A per-keypoint dynamic gather here lowered to
+    serialized slices on TPU and dominated the whole front-end. The
+    original ORB paper (Rublee et al. 2011) quantizes rotations the same
+    way (2π/30 lookup tables); the reference C++ uses exact per-keypoint
+    rotation (src/ORBextractor.cpp:45-84) — documented deviation,
+    validated by end-to-end ATE parity. The reported angle stays exact
+    (used by rotation-consistency histograms).
+
+    All matmuls pin precision=HIGHEST: blur values feed strict `<`
+    comparisons, and bf16 MXU passes flipped ~0.3% of descriptor bits.
     """
-    m10 = jnp.einsum("kij,ij->k", P, jnp.asarray(_WX48))
-    m01 = jnp.einsum("kij,ij->k", P, jnp.asarray(_WY48))
-    ang = jnp.arctan2(m01, m10)
+    m = jnp.einsum(
+        "kf,fc->kc", P.reshape(P.shape[0], -1), jnp.asarray(_W2), precision=_HI
+    )
+    ang = jnp.arctan2(m[:, 1], m[:, 0])
 
     # 7x7 sigma=2 separable blur of the patch interior -> [K,42,42]
-    row = jnp.zeros(P.shape[:1] + (48, 42), P.dtype)
-    for k in range(7):
-        row = row + _G7[k] * P[:, :, k : k + 42]
-    blur = jnp.zeros(P.shape[:1] + (42, 42), P.dtype)
-    for k in range(7):
-        blur = blur + _G7[k] * row[:, k : k + 42, :]
+    band = jnp.asarray(_BLUR_BAND)
+    t = jnp.einsum("kij,jc->kic", P, band, precision=_HI)
+    blur = jnp.einsum("ir,kic->krc", band, t, precision=_HI)
     bf = blur.reshape(P.shape[0], -1)  # [K,1764]
 
     bins = (
         jnp.round(ang * (N_ANGLE_BINS / (2.0 * np.pi)))
         .astype(jnp.int32) % N_ANGLE_BINS
     )
-    vals = jnp.zeros((P.shape[0], 512), bf.dtype)
+    words = jnp.zeros((P.shape[0], 8), jnp.uint32)
+    bw = jnp.asarray(_BIT_W)
     for a_i in range(N_ANGLE_BINS):
         vals_a = bf[:, jnp.asarray(_BIN_FLAT[a_i])]  # static gather
-        vals = jnp.where((bins == a_i)[:, None], vals_a, vals)
-    t0 = vals[:, :256]
-    t1 = vals[:, 256:]
-    bits = (t0 < t1).astype(jnp.uint32)
-    words = jnp.sum(
-        bits.reshape(-1, 8, 32) * jnp.asarray(_BIT_W)[None, None, :], axis=-1
-    )
-    return ang, words.astype(jnp.uint32)
+        bits = (vals_a[:, :256] < vals_a[:, 256:]).astype(jnp.uint32)
+        w_a = jnp.sum(bits.reshape(-1, 8, 32) * bw[None, None, :], axis=-1)
+        words = jnp.where((bins == a_i)[:, None], w_a.astype(jnp.uint32), words)
+    return ang, words
 
 
 def _round_up(v, m):

@@ -27,15 +27,20 @@ PATCH_W = 256  # lane width: HBM slices must be 128-aligned in offset+size
 GROUP = 8  # DMAs in flight per grid step (amortizes per-DMA latency)
 
 
-def _patch_kernel(xs_ref, ys_ref, img_ref, out_ref, sems):
+def _patch_kernel(xs_ref, ys_ref, img_ref, out_ref, scratch, sems):
     """Grid step g: launch GROUP concurrent DMAs for keypoints
     g*GROUP .. g*GROUP+GROUP-1, each fetching the tile-aligned
-    PATCH_H x PATCH_W window below-left of its (y, x); the caller shifts
-    by the alignment residues.
+    PATCH_H x PATCH_W window below-left of its (y, x) into VMEM scratch.
 
     Mosaic requires HBM slices aligned to the (8, 128) tiling in both
     offset and size, so we fetch a generous aligned window per keypoint —
-    57 KB each, far cheaper than XLA's full-image gather lowering."""
+    57 KB each, far cheaper than XLA's full-image gather lowering. The
+    LANE residue (x % 128) is undone right here with a dynamic-shift
+    `pltpu.roll` before the block leaves VMEM, shrinking the kernel
+    output (and the downstream shift math) from 256 to 48 lanes. The
+    SUBLANE residue (y % 8) cannot be undone in-kernel: dynamic sublane
+    rotates miscompile and dynamic sublane slices are rejected by Mosaic,
+    so the caller finishes with a cheap [48,56]x[56,48] one-hot matmul."""
     g = pl.program_id(0)
     dmas = []
     for j in range(GROUP):
@@ -44,13 +49,16 @@ def _patch_kernel(xs_ref, ys_ref, img_ref, out_ref, sems):
         x = (xs_ref[i] // 128) * 128
         dma = pltpu.make_async_copy(
             img_ref.at[pl.ds(y, PATCH_H), pl.ds(x, PATCH_W)],
-            out_ref.at[j],
+            scratch.at[j],
             sems.at[j],
         )
         dma.start()
         dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
+    for j in range(GROUP):
+        i = g * GROUP + j
+        dmas[j].wait()
+        dx = xs_ref[i] % 128
+        out_ref[j] = pltpu.roll(scratch[j], shift=-dx, axis=1)[:, :PATCH]
 
 
 def extract_patches(img_pad: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
@@ -78,38 +86,34 @@ def extract_patches(img_pad: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Arr
         grid=(Kp // GROUP,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (GROUP, PATCH_H, PATCH_W), lambda g, xs, ys: (g, 0, 0),
+            (GROUP, PATCH_H, PATCH), lambda g, xs, ys: (g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((GROUP,))],
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, PATCH_H, PATCH_W), img_pad.dtype),
+            pltpu.SemaphoreType.DMA((GROUP,)),
+        ],
     )
     raw = pl.pallas_call(
         _patch_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Kp, PATCH_H, PATCH_W), img_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((Kp, PATCH_H, PATCH), img_pad.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() != "tpu",
     )(xs, ys, img_pad)[:K]
-    # Undo the tile alignment: per-patch (row, col) shift by the residues.
-    # Expressed as batched one-hot matmuls (selection matrices built from
-    # iota compares) so the shift runs on the MXU — XLA lowers per-row
-    # dynamic gathers on TPU to serialized slices, which profiled ~10x
-    # slower than this. precision='highest' keeps the selection exact
-    # (one nonzero per output; no bf16 rounding of pixel values).
+    # Undo the sublane alignment: per-patch row shift by y % 8, expressed
+    # as a batched one-hot matmul (selection matrices from iota compares)
+    # so the shift runs on the MXU — XLA lowers per-row dynamic gathers on
+    # TPU to serialized slices, which profiled ~10x slower than this.
+    # Lanes were already undone in-kernel, so this contraction is only
+    # [48,56]x[56,48] per keypoint. precision='highest' keeps the
+    # selection exact (one nonzero per output; no bf16 pixel rounding).
     dy = (ys[:K] % 8).astype(jnp.int32)
-    dx = (xs[:K] % 128).astype(jnp.int32)
     i48 = jnp.arange(PATCH, dtype=jnp.int32)
     rows_oh = (
         dy[:, None, None] + i48[None, :, None]
         == jnp.arange(PATCH_H, dtype=jnp.int32)[None, None, :]
     ).astype(raw.dtype)  # [K,48,PATCH_H]
-    shifted = jnp.einsum(
-        "kru,kuc->krc", rows_oh, raw, precision=jax.lax.Precision.HIGHEST
-    )  # [K,48,PATCH_W]
-    cols_oh = (
-        dx[:, None, None] + i48[None, None, :]
-        == jnp.arange(PATCH_W, dtype=jnp.int32)[None, :, None]
-    ).astype(raw.dtype)  # [K,PATCH_W,48]
     return jnp.einsum(
-        "krc,kcj->krj", shifted, cols_oh, precision=jax.lax.Precision.HIGHEST
-    )
+        "kru,kuc->krc", rows_oh, raw, precision=jax.lax.Precision.HIGHEST
+    )  # [K,48,48]
