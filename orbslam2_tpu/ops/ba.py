@@ -471,6 +471,173 @@ def _pm_mm(A, x):
     )
 
 
+def _pm_camera_gather(A, vc):
+    """[K,6] -> [P*D,6] via the one-hot matmul (MXU)."""
+    return jax.lax.dot_general(
+        A, vc.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pm_assemble(poses, points, prob, cam, use_huber, A, axis_name):
+    """Gradients, diagonal blocks, robust chi2 (+ edge terms for reuse)."""
+    K = prob.poses.shape[0]
+    P, D = prob.obs_kf.shape
+
+    def reduce_(x):
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+    r, Jc, Jp, comp, dok = _pm_edge_terms(poses, points, prob, cam)
+    w, _, rho = _pm_weights(r, comp, prob, dok, use_huber)
+    W = w[..., None] * comp  # [P,D,3]
+    Wr = W * r
+    gc = reduce_(_pm_mm(A, _einsum("pdci,pdc->pdi", Jc, Wr).reshape(P * D, -1)))
+    gp = jnp.sum(_einsum("pdci,pdc->pdi", Jp, Wr), axis=1)  # [P,3]
+    Hcc = reduce_(
+        _pm_mm(
+            A, _einsum("pdci,pdc,pdcj->pdij", Jc, W, Jc).reshape(P * D, 36)
+        )
+    ).reshape(K, 6, 6)
+    Hpp = jnp.sum(_einsum("pdci,pdc,pdcj->pdij", Jp, W, Jp), axis=1)
+    F = reduce_(jnp.sum(rho))
+    return (r, Jc, Jp, W), gc, gp, Hcc, Hpp, F
+
+
+class PMLMState(NamedTuple):
+    """Carried LM state between point-major LM iterations. Exposed so the
+    host can run the solve in interruptible per-iteration chunks (the
+    reference's mbAbortBA protocol, LocalMapping.cpp:109-114,
+    Optimizer.cpp:426-787 abort checks)."""
+
+    poses: jax.Array
+    points: jax.Array
+    lam: jax.Array
+    ni: jax.Array
+    F: jax.Array
+
+
+def ba_pm_init(prob: BAProblemPM, cam: Camera, use_huber=True, axis_name=None):
+    """Initial LM state: lambda from the Hessian diagonal (g2o heuristic)."""
+    K = prob.poses.shape[0]
+    A = _pm_onehot(prob, K)
+    use_huber = jnp.asarray(use_huber)
+    _, _, _, Hcc0, Hpp0, F0 = _pm_assemble(
+        prob.poses, prob.points, prob, cam, use_huber, A, axis_name
+    )
+    hpp_max = jnp.max(jax.vmap(jnp.diag)(Hpp0))
+    if axis_name is not None:
+        hpp_max = jax.lax.pmax(hpp_max, axis_name)
+    diag_max = jnp.maximum(jnp.max(jax.vmap(jnp.diag)(Hcc0)), hpp_max)
+    return PMLMState(
+        poses=prob.poses, points=prob.points,
+        lam=1e-5 * diag_max, ni=jnp.float32(2.0), F=F0,
+    )
+
+
+def ba_pm_step(
+    prob: BAProblemPM,
+    cam: Camera,
+    state: PMLMState,
+    n_cg: int = 20,
+    use_huber=True,
+    axis_name=None,
+) -> PMLMState:
+    """ONE point-major LM iteration (PCG inner solve + accept/reject)."""
+    K = prob.poses.shape[0]
+    P, D = prob.obs_kf.shape
+    A = _pm_onehot(prob, K)
+    use_huber = jnp.asarray(use_huber)
+    free = ~prob.pose_fixed
+
+    def reduce_(x):
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+    poses, points, lam, ni, F = state
+    (r, Jc, Jp, W), gc, gp, Hcc, Hpp, _ = _pm_assemble(
+        poses, points, prob, cam, use_huber, A, axis_name
+    )
+    gc = gc * free[:, None]
+    Mc = jnp.linalg.inv(Hcc + (lam + 1e-6) * jnp.eye(6))
+    Mp = inv3x3(Hpp + (lam + 1e-6) * jnp.eye(3))
+
+    def hv(vc, vp):
+        vc = vc * free[:, None]
+        a = _einsum(
+            "pdci,pdi->pdc", Jc, _pm_camera_gather(A, vc).reshape(P, D, 6)
+        ) + _einsum("pdci,pi->pdc", Jp, vp)
+        Wa = W * a
+        Hc = reduce_(_pm_mm(A, _einsum("pdci,pdc->pdi", Jc, Wa).reshape(P * D, -1)))
+        Hp = jnp.sum(_einsum("pdci,pdc->pdi", Jp, Wa), axis=1)
+        return (Hc + lam * vc) * free[:, None], Hp + lam * vp
+
+    def precond(rc, rp):
+        return (
+            _einsum("kij,kj->ki", Mc, rc) * free[:, None],
+            _einsum("pij,pj->pi", Mp, rp),
+        )
+
+    def dot(ac, bc, ap, bp):
+        return jnp.sum(ac * bc) + reduce_(jnp.sum(ap * bp))
+
+    xc = jnp.zeros_like(gc)
+    xp = jnp.zeros_like(gp)
+    rc, rp = gc, gp
+    zc, zp = precond(rc, rp)
+    pc_, pp_ = zc, zp
+    rz = dot(rc, zc, rp, zp)
+
+    def cg(c, _):
+        xc, xp, rc, rp, pc_, pp_, rz = c
+        Apc, App = hv(pc_, pp_)
+        pAp = dot(pc_, Apc, pp_, App)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+        xc = xc + alpha * pc_
+        xp = xp + alpha * pp_
+        rc = rc - alpha * Apc
+        rp = rp - alpha * App
+        zc, zp = precond(rc, rp)
+        rz2 = dot(rc, zc, rp, zp)
+        beta = rz2 / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        return (xc, xp, rc, rp, zc + beta * pc_, zp + beta * pp_, rz2), None
+
+    (xc, xp, *_), _ = jax.lax.scan(
+        cg, (xc, xp, rc, rp, pc_, pp_, rz), None, length=n_cg
+    )
+    dxc = -xc * free[:, None]
+    dxp = -xp
+    poses_new = se3.retract(poses, dxc)
+    points_new = points + dxp
+    *_, F_new = _pm_assemble(
+        poses_new, points_new, prob, cam, use_huber, A, axis_name
+    )
+    gdot = jnp.sum(dxc * (lam * dxc - gc)) + reduce_(
+        jnp.sum(dxp * (lam * dxp - gp))
+    )
+    rho = (F - F_new) / (gdot + 1e-12)
+    ok = (rho > 0) & jnp.isfinite(F_new)
+    poses = jnp.where(ok, poses_new, poses)
+    points = jnp.where(ok, points_new, points)
+    F = jnp.where(ok, F_new, F)
+    lam = jnp.where(ok, lam * jnp.maximum(1 / 3, 1 - (2 * rho - 1) ** 3), lam * ni)
+    ni = jnp.where(ok, 2.0, ni * 2.0)
+    return PMLMState(poses=poses, points=points, lam=lam, ni=ni, F=F)
+
+
+def pm_edge_chi2(poses, points, prob: BAProblemPM, cam: Camera):
+    r, _, _, comp, dok = _pm_edge_terms(poses, points, prob, cam)
+    e2 = jnp.sum(r * r * comp, axis=-1) * prob.inv_sigma2
+    return e2, dok
+
+
+def pm_inlier_mask(poses, points, prob: BAProblemPM, cam: Camera):
+    """Edges passing the chi2 gate (5.991 mono / 7.815 stereo) at the
+    current estimate — the mid-schedule outlier cut and final inliers."""
+    e2, dok = pm_edge_chi2(poses, points, prob, cam)
+    th = jnp.where(prob.is_stereo, CHI2_STEREO, CHI2_MONO)
+    return prob.edge_valid & (e2 <= th) & dok
+
+
 def ba_solve_pm(
     prob: BAProblemPM,
     cam: Camera,
@@ -479,139 +646,34 @@ def ba_solve_pm(
     n_cg: int = 20,
     axis_name=None,
 ) -> "BAResultPM":
-    """Point-major LM/PCG bundle adjustment. With axis_name set inside a
+    """Point-major LM/PCG bundle adjustment (fused two-stage schedule of
+    the reference LocalBundleAdjustment). With axis_name set inside a
     shard_map, point rows are sharded (map blocks per device): point-side
     state stays local, camera-side reductions psum over ICI."""
-    K = prob.poses.shape[0]
-    P, D = prob.obs_kf.shape
-    A = _pm_onehot(prob, K)  # [P*D, K]
 
-    def reduce_(x):
-        return x if axis_name is None else jax.lax.psum(x, axis_name)
-
-    def camera_scatter(contrib):  # [P,D,c] -> [K,c] (+ cross-device)
-        return reduce_(_pm_mm(A, contrib.reshape(P * D, -1)))
-
-    def camera_gather(vc):  # [K,6] -> [P,D,6]
-        out = jax.lax.dot_general(
-            A, vc.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return out.reshape(P, D, 6)
-
-    free = ~prob.pose_fixed
-
-    def lm_phase(poses, points, use_huber, n_iters):
-        def assemble(poses_, points_):
-            r, Jc, Jp, comp, dok = _pm_edge_terms(poses_, points_, prob, cam)
-            w, _, rho = _pm_weights(r, comp, prob, dok, use_huber)
-            W = w[..., None] * comp  # [P,D,3]
-            Wr = W * r
-            gc = camera_scatter(_einsum("pdci,pdc->pdi", Jc, Wr))
-            gp = jnp.sum(_einsum("pdci,pdc->pdi", Jp, Wr), axis=1)  # [P,3]
-            Hcc = camera_scatter(
-                _einsum("pdci,pdc,pdcj->pdij", Jc, W, Jc).reshape(P, D, 36)
-            ).reshape(K, 6, 6)
-            Hpp = jnp.sum(_einsum("pdci,pdc,pdcj->pdij", Jp, W, Jp), axis=1)
-            F = reduce_(jnp.sum(rho))
-            return (r, Jc, Jp, W), gc, gp, Hcc, Hpp, F
-
+    def lm_phase(prob_, state, n_iters):
         def step(carry, _):
-            poses, points, lam, ni, F = carry
-            (r, Jc, Jp, W), gc, gp, Hcc, Hpp, _ = assemble(poses, points)
-            gc = gc * free[:, None]
-            Mc = jnp.linalg.inv(Hcc + (lam + 1e-6) * jnp.eye(6))
-            Mp = inv3x3(Hpp + (lam + 1e-6) * jnp.eye(3))
+            return ba_pm_step(prob_, cam, carry, n_cg, True, axis_name), None
 
-            def hv(vc, vp):
-                vc = vc * free[:, None]
-                a = _einsum("pdci,pdi->pdc", Jc, camera_gather(vc)) + _einsum(
-                    "pdci,pi->pdc", Jp, vp
-                )
-                Wa = W * a
-                Hc = camera_scatter(_einsum("pdci,pdc->pdi", Jc, Wa))
-                Hp = jnp.sum(_einsum("pdci,pdc->pdi", Jp, Wa), axis=1)
-                return (Hc + lam * vc) * free[:, None], Hp + lam * vp
+        state, _ = jax.lax.scan(step, state, None, length=n_iters)
+        return state
 
-            def precond(rc, rp):
-                return (
-                    _einsum("kij,kj->ki", Mc, rc) * free[:, None],
-                    _einsum("pij,pj->pi", Mp, rp),
-                )
-
-            def dot(ac, bc, ap, bp):
-                return jnp.sum(ac * bc) + reduce_(jnp.sum(ap * bp))
-
-            xc = jnp.zeros_like(gc)
-            xp = jnp.zeros_like(gp)
-            rc, rp = gc, gp
-            zc, zp = precond(rc, rp)
-            pc_, pp_ = zc, zp
-            rz = dot(rc, zc, rp, zp)
-
-            def cg(c, _):
-                xc, xp, rc, rp, pc_, pp_, rz = c
-                Apc, App = hv(pc_, pp_)
-                pAp = dot(pc_, Apc, pp_, App)
-                alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
-                xc = xc + alpha * pc_
-                xp = xp + alpha * pp_
-                rc = rc - alpha * Apc
-                rp = rp - alpha * App
-                zc, zp = precond(rc, rp)
-                rz2 = dot(rc, zc, rp, zp)
-                beta = rz2 / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
-                return (xc, xp, rc, rp, zc + beta * pc_, zp + beta * pp_, rz2), None
-
-            (xc, xp, *_), _ = jax.lax.scan(
-                cg, (xc, xp, rc, rp, pc_, pp_, rz), None, length=n_cg
-            )
-            dxc = -xc * free[:, None]
-            dxp = -xp
-            poses_new = se3.retract(poses, dxc)
-            points_new = points + dxp
-            *_, F_new = assemble(poses_new, points_new)
-            gdot = jnp.sum(dxc * (lam * dxc - gc)) + reduce_(
-                jnp.sum(dxp * (lam * dxp - gp))
-            )
-            rho = (F - F_new) / (gdot + 1e-12)
-            ok = (rho > 0) & jnp.isfinite(F_new)
-            poses = jnp.where(ok, poses_new, poses)
-            points = jnp.where(ok, points_new, points)
-            F = jnp.where(ok, F_new, F)
-            lam = jnp.where(
-                ok, lam * jnp.maximum(1 / 3, 1 - (2 * rho - 1) ** 3), lam * ni
-            )
-            ni = jnp.where(ok, 2.0, ni * 2.0)
-            return (poses, points, lam, ni, F), None
-
-        _, gc0, gp0, Hcc0, Hpp0, F0 = assemble(poses, points)
-        hpp_max = jnp.max(jax.vmap(jnp.diag)(Hpp0))
-        if axis_name is not None:
-            hpp_max = jax.lax.pmax(hpp_max, axis_name)
-        diag_max = jnp.maximum(jnp.max(jax.vmap(jnp.diag)(Hcc0)), hpp_max)
-        lam0 = 1e-5 * diag_max
-        (poses, points, _, _, F), _ = jax.lax.scan(
-            step, (poses, points, lam0, jnp.float32(2.0), F0), None, length=n_iters
-        )
-        return poses, points, F
-
-    def chi2(poses, points):
-        r, _, _, comp, dok = _pm_edge_terms(poses, points, prob, cam)
-        e2 = jnp.sum(r * r * comp, axis=-1) * prob.inv_sigma2
-        return e2, dok
-
-    poses, points = prob.poses, prob.points
-    poses, points, _ = lm_phase(poses, points, jnp.asarray(True), n_iters_first)
-    e2, dok = chi2(poses, points)
-    th = jnp.where(prob.is_stereo, CHI2_STEREO, CHI2_MONO)
-    keep = prob.edge_valid & (e2 <= th) & dok
-    prob = prob._replace(edge_valid=keep)
-    poses, points, F = lm_phase(poses, points, jnp.asarray(True), n_iters_second)
-    e2, dok = chi2(poses, points)
-    inlier = keep & (e2 <= th) & dok
-    return BAResultPM(poses=poses, points=points, edge_inlier=inlier, final_chi2=F)
+    state = lm_phase(prob, ba_pm_init(prob, cam, True, axis_name), n_iters_first)
+    keep = pm_inlier_mask(state.poses, state.points, prob, cam)
+    prob2 = prob._replace(edge_valid=keep)
+    state = lm_phase(
+        prob2,
+        ba_pm_init(
+            prob2._replace(poses=state.poses, points=state.points),
+            cam, True, axis_name,
+        ),
+        n_iters_second,
+    )
+    inlier = pm_inlier_mask(state.poses, state.points, prob2, cam)
+    return BAResultPM(
+        poses=state.poses, points=state.points,
+        edge_inlier=inlier, final_chi2=state.F,
+    )
 
 
 class BAResultPM(NamedTuple):
@@ -624,3 +686,63 @@ class BAResultPM(NamedTuple):
 ba_solve_pm_jit = jax.jit(
     ba_solve_pm, static_argnames=("n_iters_first", "n_iters_second", "n_cg")
 )
+
+# Chunked (host-driven) variants for the interruptible schedule: one jit
+# per LM iteration lets the host check an abort flag between iterations
+# (reference InterruptBA semantics) and lets tracking's device programs
+# interleave with a long solve on the device stream.
+ba_pm_init_jit = jax.jit(ba_pm_init)
+ba_pm_step_jit = jax.jit(ba_pm_step, static_argnames=("n_cg",))
+pm_inlier_mask_jit = jax.jit(pm_inlier_mask)
+
+
+def ba_solve_pm_interruptible(
+    prob: BAProblemPM,
+    cam: Camera,
+    should_abort=None,
+    n_iters_first: int = 5,
+    n_iters_second: int = 10,
+    n_cg: int = 20,
+    sync_every: int = 3,
+) -> "BAResultPM":
+    """Host-driven two-stage schedule with abort checks between LM
+    iterations (reference LocalMapping.cpp:109-114 mbAbortBA protocol).
+
+    `should_abort()` is polled between iteration chunks; when it returns
+    True the remaining iterations are skipped and the current estimate is
+    finalized (chi2 inlier marking still runs, matching the reference's
+    early-exit behavior). `sync_every` bounds how many iterations are
+    enqueued before the host blocks on a device value, which (a) bounds
+    abort latency and (b) yields the GIL/device stream to the tracker
+    between chunks."""
+    if should_abort is None:
+        should_abort = lambda: False
+
+    def phase(prob_, state, n_iters):
+        done = 0
+        while done < n_iters:
+            if should_abort():
+                break
+            n = min(sync_every, n_iters - done)
+            for _ in range(n):
+                state = ba_pm_step_jit(prob_, cam, state, n_cg)
+            float(state.F)  # value fetch = reliable device sync point
+            done += n
+        return state
+
+    state = phase(prob, ba_pm_init_jit(prob, cam), n_iters_first)
+    keep = pm_inlier_mask_jit(state.poses, state.points, prob, cam)
+    prob2 = prob._replace(edge_valid=keep)
+    if not should_abort():
+        state = phase(
+            prob2,
+            ba_pm_init_jit(
+                prob2._replace(poses=state.poses, points=state.points), cam
+            ),
+            n_iters_second,
+        )
+    inlier = pm_inlier_mask_jit(state.poses, state.points, prob2, cam)
+    return BAResultPM(
+        poses=state.poses, points=state.points,
+        edge_inlier=inlier, final_chi2=state.F,
+    )

@@ -53,8 +53,7 @@ def assemble_pm_problem(
     for k, i in kf_index.items():
         poses[i] = m.kf_pose[k]
     points = np.zeros((P, 3), np.float32)
-    for p, i in pt_index.items():
-        points[i] = m.pt_pos[p]
+    points[: len(pts)] = m.pt_pos[np.asarray(pts, np.int64)]
     fixed_mask = np.ones(K, bool)
     for k in free_kfs:
         fixed_mask[kf_index[k]] = k == 0  # KF0 anchors the gauge
@@ -116,9 +115,9 @@ def apply_pm_result(m: SlamMap, res, meta: PMMeta):
     for k, i in meta.kf_index.items():
         if not meta.fixed_mask[i]:
             m.kf_pose[k] = new_poses[i]
-    for p, i in meta.pt_index.items():
-        if p in m.pt_valid:
-            m.pt_pos[p] = new_points[i].astype(np.float64)
+    pt_ids = np.asarray(meta.pts, np.int64)
+    alive = m.valid_mask(pt_ids)
+    m.pt_pos[pt_ids[alive]] = new_points[: len(pt_ids)][alive].astype(np.float64)
     bad_rows, bad_slots = np.nonzero((meta.edge_kf >= 0) & ~inlier)
     for r, c in zip(bad_rows, bad_slots):
         p = meta.pts[r] if r < len(meta.pts) else None

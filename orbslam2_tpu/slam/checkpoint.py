@@ -18,7 +18,7 @@ from .map import SlamMap
 
 def save_map(m: SlamMap, path: str):
     kfs = sorted(m.kf_valid)
-    pts = sorted(m.pt_valid)
+    pts = [int(p) for p in m.pt_ids()]
     N = m.n_kp
 
     def stack_frames(attr):
@@ -53,12 +53,12 @@ def save_map(m: SlamMap, path: str):
         f_u_right=stack_frames("u_right"),
         f_depth=stack_frames("depth"),
         pt_ids=np.array(pts, np.int64),
-        pt_pos=np.stack([m.pt_pos[p] for p in pts]) if pts else np.zeros((0, 3)),
-        pt_desc=np.stack([m.pt_desc[p] for p in pts]) if pts else np.zeros((0, 8)),
-        pt_normal=np.stack([m.pt_normal[p] for p in pts]) if pts else np.zeros((0, 3)),
-        pt_min_dist=np.array([m.pt_min_dist[p] for p in pts]),
-        pt_max_dist=np.array([m.pt_max_dist[p] for p in pts]),
-        pt_ref_kf=np.array([m.pt_ref_kf.get(p, -1) for p in pts], np.int64),
+        pt_pos=m.pt_pos[np.asarray(pts, np.int64)],
+        pt_desc=m.pt_desc[np.asarray(pts, np.int64)],
+        pt_normal=m.pt_normal[np.asarray(pts, np.int64)],
+        pt_min_dist=m.pt_min_dist[np.asarray(pts, np.int64)],
+        pt_max_dist=m.pt_max_dist[np.asarray(pts, np.int64)],
+        pt_ref_kf=m.pt_ref_kf[np.asarray(pts, np.int64)],
         obs_pt=np.array(obs_pt, np.int64),
         obs_kf=np.array(obs_kf, np.int64),
         obs_idx=np.array(obs_idx, np.int64),
@@ -104,22 +104,25 @@ def load_map(m: SlamMap, path: str):
     for k in list(m.parent):
         m.children.setdefault(m.parent[k], set()).add(k)
 
-    pts = z["pt_ids"]
-    for i, p in enumerate(pts):
-        p = int(p)
-        m.pt_pos[p] = z["pt_pos"][i]
-        m.pt_desc[p] = z["pt_desc"][i].astype(np.uint32)
-        m.pt_normal[p] = z["pt_normal"][i]
-        m.pt_min_dist[p] = float(z["pt_min_dist"][i])
-        m.pt_max_dist[p] = float(z["pt_max_dist"][i])
-        m.pt_ref_kf[p] = int(z["pt_ref_kf"][i])
-        m.pt_first_kf_id[p] = int(z["pt_ref_kf"][i])
-        m.pt_obs[p] = {}
-        m.pt_visible[p] = 1
-        m.pt_found[p] = 1
-        m.pt_valid.add(p)
+    pts = z["pt_ids"].astype(np.int64)
+    if len(pts):
+        m.ensure_pt_capacity(int(pts.max()) + 1)
+        m.pt_pos[pts] = z["pt_pos"]
+        m.pt_desc[pts] = z["pt_desc"].astype(np.uint32)
+        m.pt_normal[pts] = z["pt_normal"]
+        m.pt_min_dist[pts] = z["pt_min_dist"]
+        m.pt_max_dist[pts] = z["pt_max_dist"]
+        m.pt_ref_kf[pts] = z["pt_ref_kf"]
+        m.pt_first_kf_id[pts] = z["pt_ref_kf"]
+        m.pt_visible[pts] = 1
+        m.pt_found[pts] = 1
+        for p in pts:
+            m.pt_obs[int(p)] = {}
+            m.pt_valid.add(int(p))
     for p, k, idx in zip(z["obs_pt"], z["obs_kf"], z["obs_idx"]):
-        m.pt_obs[int(p)][int(k)] = int(idx)
+        p, k, idx = int(p), int(k), int(idx)
+        m.pt_obs[p][k] = idx
+        m.pt_nobs[p] += m._obs_weight(k, idx)
     m._next_kf = int(kfs.max()) + 1 if len(kfs) else 0
     m._next_pt = int(pts.max()) + 1 if len(pts) else 0
     m.keyframe_origins = [int(x) for x in z["origins"]]

@@ -61,6 +61,24 @@ class Frontend:
         params = self.orb_params
         sf = self.scale_factors
 
+        # keypoint undistortion (reference Frame::UndistortKeyPoints,
+        # Frame.cpp:471-503): active when the YAML carries distortion
+        # (k1 != 0 — raw monocular cameras); a no-op for rectified stereo.
+        cc = c.camera
+        self.has_distortion = any(
+            abs(x) > 0 for x in (cc.k1, cc.k2, cc.p1, cc.p2, cc.k3)
+        )
+
+        def _undistort(uv):
+            if not self.has_distortion:
+                return uv
+            from ..ops import undistort as und
+
+            return und.undistort_points(
+                uv, cc.fx, cc.fy, cc.cx, cc.cy,
+                cc.k1, cc.k2, cc.p1, cc.p2, cc.k3,
+            )
+
         @jax.jit
         def _process(images):
             f = orb.extract(images, params)
@@ -70,7 +88,7 @@ class Frontend:
                 sf, bf=bf, min_z=baseline,
             )
             return FrameFeatures(
-                uv=f.uv[0], octave=f.octave[0], angle=f.angle[0],
+                uv=_undistort(f.uv[0]), octave=f.octave[0], angle=f.angle[0],
                 response=f.response[0], desc=f.desc[0], valid=f.valid[0],
                 u_right=sm.u_right, depth=sm.depth,
             )
@@ -83,7 +101,7 @@ class Frontend:
             n = f.uv.shape[1]
             no_stereo = jnp.full((n,), -1.0, jnp.float32)
             return FrameFeatures(
-                uv=f.uv[0], octave=f.octave[0], angle=f.angle[0],
+                uv=_undistort(f.uv[0]), octave=f.octave[0], angle=f.angle[0],
                 response=f.response[0], desc=f.desc[0], valid=f.valid[0],
                 u_right=no_stereo, depth=no_stereo,
             )
@@ -95,6 +113,42 @@ class Frontend:
             [jnp.asarray(im_left, jnp.float32), jnp.asarray(im_right, jnp.float32)]
         )
         return self._process(images)
+
+    def measure_stage_split(self, im_left, im_right, reps: int = 20):
+        """Measured ORB-extraction vs stereo-matching cost split.
+
+        The per-frame pipeline deliberately fuses extraction + stereo
+        matching into one device program (the reference times them as two
+        stages, Frame.cpp:112-132); for line-comparable timing reports
+        this measures the extraction-only program and the fused program
+        under identical sync discipline and attributes the difference to
+        stereo matching. Returns (orb_seconds[reps], full_seconds[reps])."""
+        import time
+
+        import jax
+
+        from ..ops import orb as orb_mod
+
+        params = self.orb_params
+        images = jnp.stack(
+            [jnp.asarray(im_left, jnp.float32), jnp.asarray(im_right, jnp.float32)]
+        )
+        extract = jax.jit(lambda im: orb_mod.extract(im, params))
+        f = extract(images)
+        _ = float(jnp.sum(f.response))  # warm + value-fetch sync
+        out = self._process(images)
+        _ = float(jnp.sum(out.depth))
+        t_orb, t_full = [], []
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            f = extract(images)
+            _ = float(jnp.sum(f.response))
+            t_orb.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            out = self._process(images)
+            _ = float(jnp.sum(out.depth))
+            t_full.append(time.perf_counter() - t0)
+        return t_orb, t_full
 
     def process_mono(self, image: np.ndarray) -> FrameFeatures:
         return self._process_mono(jnp.asarray(image, jnp.float32))

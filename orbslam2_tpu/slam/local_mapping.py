@@ -42,6 +42,7 @@ class LocalMapper:
         self.config = config
         self.frontend = frontend
         self.map = slam_map
+        self.lock = slam_map.lock  # the map-update lock (mMutexMapUpdate)
         self.cam = frontend.camera
         self.recent_points: List[int] = []  # (for MapPointCulling)
         self._stopped = False
@@ -51,6 +52,9 @@ class LocalMapper:
         self.n_processed = 0
         self.on_processed = None  # downstream stage hook (loop closing)
         self.timers = None  # StageTimers, wired by System
+        #: MappingWorker when the pipeline runs threaded (reference
+        #: System.cpp:63-65 thread spawn); None = host-sequenced
+        self.worker = None
 
         sf = frontend.scale_factors
         sig2 = jnp.asarray(frontend.level_sigma2, jnp.float32)
@@ -68,8 +72,6 @@ class LocalMapper:
                 sf, inv_sig2,
             )
         )
-        self._jit_ba = ba.ba_solve_pm_jit
-
     # ------------------------------------------------------- tracker API
     def is_stopped(self) -> bool:
         return self._stopped
@@ -92,9 +94,13 @@ class LocalMapper:
     # -------------------------------------------------------------------
 
     def insert_keyframe(self, kf: int):
-        """Synchronous equivalent of the mapping thread loop body
-        (reference LocalMapping::Run, LocalMapping.cpp:22-107)."""
+        """Queue one keyframe (reference LocalMapping::InsertKeyFrame,
+        LocalMapping.cpp:109-114). Threaded: wakes the mapping worker.
+        Host-sequenced: processes inline (or per-frame via pump())."""
         self._queue.append(kf)
+        if self.worker is not None:
+            self.worker.notify()
+            return
         if self._stopped or self.deferred:
             return
         while self._queue:
@@ -102,9 +108,8 @@ class LocalMapper:
             self._process(k)
 
     def pump(self):
-        """Deferred mode: process one queued keyframe (called once per
-        tracked frame — the host-side analog of the mapping thread getting
-        a time slice between frames)."""
+        """Process one queued keyframe (deferred mode: called once per
+        tracked frame; threaded mode: called by the worker loop)."""
         if self._stopped or not self._queue:
             return
         self._process(self._queue.pop(0))
@@ -113,46 +118,55 @@ class LocalMapper:
         return self.timers.span(name) if self.timers else contextlib.nullcontext()
 
     def _process(self, kf: int):
-        with self._span("Keyframe insertion"):
-            self.map.update_connections(kf)
-        with self._span("Map point culling"):
-            self._cull_map_points(kf)
-        with self._span("Map point creation"):
-            self._create_new_points(kf)
-        if not self._queue:
-            with self._span("Map point fusion"):
-                self._fuse_neighbors(kf)
-        if self.map.n_keyframes() > 2 and not self._queue:
-            self._abort_ba = False
-            with self._span("Local BA"):
-                self._local_ba(kf)
-            with self._span("Keyframe culling"):
-                self._cull_keyframes(kf)
-        self.n_processed += 1
-        if self.on_processed is not None:
-            self.on_processed(kf)
+        """The mapping thread loop body (reference LocalMapping::Run,
+        LocalMapping.cpp:22-107). Map-mutating stages run under the map
+        lock; the BA device solve runs outside it (assemble/apply locked)
+        so tracking is never blocked for the duration of a solve."""
+        self._accept = False  # reference SetAcceptKeyFrames(false)
+        try:
+            with self.lock:
+                with self._span("Keyframe insertion"):
+                    self.map.update_connections(kf)
+                with self._span("Map point culling"):
+                    self._cull_map_points(kf)
+                with self._span("Map point creation"):
+                    self._create_new_points(kf)
+                if not self._queue:
+                    with self._span("Map point fusion"):
+                        self._fuse_neighbors(kf)
+            if self.map.n_keyframes() > 2 and not self._queue:
+                self._abort_ba = False
+                with self._span("Local BA"):
+                    self._local_ba(kf)
+                with self.lock:
+                    with self._span("Keyframe culling"):
+                        self._cull_keyframes(kf)
+            self.n_processed += 1
+            if self.on_processed is not None:
+                self.on_processed(kf)
+        finally:
+            self._accept = True
 
     # -------------------------------------------------------------------
 
     def _cull_map_points(self, kf: int):
         """Reference LocalMapping::MapPointCulling (LocalMapping.cpp:165-195)."""
         th_obs = 2 if self.config.monocular else 3
-        keep = []
-        for pid in self.recent_points:
-            if pid not in self.map.pt_valid:
-                continue
-            found = self.map.pt_found.get(pid, 1)
-            visible = max(self.map.pt_visible.get(pid, 1), 1)
-            age = kf - self.map.pt_first_kf_id.get(pid, kf)
-            if found / visible < 0.25:
-                self.map.remove_point(pid)
-            elif age >= 2 and self.map.n_observations(pid) <= th_obs:
-                self.map.remove_point(pid)
-            elif age >= 3:
-                pass  # survives culling, leaves the probation list
-            else:
-                keep.append(pid)
-        self.recent_points = keep
+        if not self.recent_points:
+            return
+        m = self.map
+        pids = np.asarray(self.recent_points, np.int64)
+        pids = pids[m.valid_mask(pids)]
+        found = m.pt_found[pids]
+        visible = np.maximum(m.pt_visible[pids], 1)
+        age = kf - m.pt_first_kf_id[pids]
+        remove = (found / visible < 0.25) | (
+            (age >= 2) & (m.pt_nobs[pids] <= th_obs)
+        )
+        for pid in pids[remove]:
+            m.remove_point(int(pid))
+        # age>=3 survives culling and leaves the probation list
+        self.recent_points = pids[~remove & (age < 3)].tolist()
 
     # -------------------------------------------------------------------
 
@@ -324,41 +338,42 @@ class LocalMapper:
             | (ratio_dist > ratio_oct * ratio_factor)
         )
 
-        created = []
         m = self.map
-        for j in np.nonzero(valid)[0]:
-            pid = m._next_pt
-            m._next_pt += 1
-            a, b2 = int(i1[j]), int(i2[j])
-            m.pt_pos[pid] = x3d[j].copy()
-            # distinctive descriptor of a fresh 2-obs point is the first
-            # observation's (both medians tie; argmin picks row 0)
-            m.pt_desc[pid] = np.asarray(f1.desc[a], np.uint32).copy()
-            m.pt_normal[pid] = np.zeros(3)
-            m.pt_min_dist[pid] = 0.0
-            m.pt_max_dist[pid] = 0.0
-            m.pt_obs[pid] = {kf1: a, kf2: b2}
-            m.pt_ref_kf[pid] = kf1
-            m.pt_first_kf_id[pid] = kf1
-            m.pt_visible[pid] = 1
-            m.pt_found[pid] = 1
-            m.pt_valid.add(pid)
-            m.kf_point[kf1][a] = pid
-            m.kf_point[kf2][b2] = pid
-            created.append(pid)
-            self.recent_points.append(pid)
+        sel = np.nonzero(valid)[0]
+        if sel.size == 0:
+            return 0
+        n = len(sel)
+        a_idx = i1[sel]
+        b_idx = i2[sel]
+        base = m._alloc_points(n)
+        new_ids = np.arange(base, base + n)
+        m.pt_pos[new_ids] = x3d[sel]
+        # distinctive descriptor of a fresh 2-obs point is the first
+        # observation's (both medians tie; argmin picks row 0)
+        m.pt_desc[new_ids] = f1.desc[a_idx].astype(np.uint32)
+        m.pt_ref_kf[new_ids] = kf1
+        m.pt_first_kf_id[new_ids] = kf1
+        m.pt_nobs[new_ids] = np.where(f1.u_right[a_idx] >= 0, 2, 1) + np.where(
+            f2.u_right[b_idx] >= 0, 2, 1
+        )
+        for j in range(n):
+            m.pt_obs[base + j] = {kf1: int(a_idx[j]), kf2: int(b_idx[j])}
+        m.kf_point[kf1][a_idx] = new_ids
+        m.kf_point[kf2][b_idx] = new_ids
+        created = new_ids.tolist()
+        self.recent_points.extend(created)
         m.update_normals_batch(created)
         return len(created)
 
     def _median_scene_depth(self, kf: int) -> float:
         """KeyFrame::ComputeSceneMedianDepth equivalent."""
         T = self.map.kf_pose[kf].astype(np.float64)
-        zs = []
-        for pid in self.map.kf_point[kf]:
-            if pid >= 0 and pid in self.map.pt_valid:
-                pc = T[:3, :3] @ self.map.pt_pos[int(pid)] + T[:3, 3]
-                zs.append(pc[2])
-        return float(np.median(zs)) if zs else -1.0
+        pids = self.map.kf_point[kf]
+        ok = self.map.valid_mask(pids)
+        if not ok.any():
+            return -1.0
+        z = self.map.pt_pos[pids[ok]] @ T[2, :3] + T[2, 3]
+        return float(np.median(z))
 
     def _unproject_kf(self, kf: int, i: int) -> np.ndarray:
         c = self.config.camera
@@ -379,30 +394,29 @@ class LocalMapper:
                 if nb2 != kf and nb2 not in targets:
                     targets.append(nb2)
 
-        cur_pids = [
-            int(p) for p in self.map.kf_point[kf] if p >= 0 and p in self.map.pt_valid
-        ]
+        kp = self.map.kf_point[kf]
+        cur_pids = kp[self.map.valid_mask(kp)]
         # forward: fuse current KF's points into each target
         for t in targets:
             self._fuse_into(t, cur_pids)
         # backward: fuse all target points into current KF
-        fuse_cands: List[int] = []
-        seen = set()
-        for t in targets:
-            for p in self.map.kf_point[t]:
-                if p >= 0 and p in self.map.pt_valid and p not in seen:
-                    seen.add(p)
-                    fuse_cands.append(int(p))
-        self._fuse_into(kf, fuse_cands)
+        if targets:
+            cands = np.unique(
+                np.concatenate([self.map.kf_point[t] for t in targets])
+            )
+            fuse_cands = cands[self.map.valid_mask(cands)]
+            self._fuse_into(kf, fuse_cands)
 
         # refresh point stats + connections of the current keyframe
-        pids = [int(p) for p in self.map.kf_point[kf] if p >= 0]
+        kp = self.map.kf_point[kf]
+        pids = kp[kp >= 0]
         self.map.compute_distinctive_descriptors_batch(pids)
         self.map.update_normals_batch(pids)
         self.map.update_connections(kf)
 
-    def _fuse_into(self, kf: int, pids: List[int]):
-        if not pids:
+    def _fuse_into(self, kf: int, pids):
+        pids = np.asarray(pids, np.int64)
+        if pids.size == 0:
             return
         c = self.config.camera
         f = self.map.kf_frame[kf]
@@ -410,8 +424,11 @@ class LocalMapper:
         T = self.map.kf_pose[kf].astype(np.float64)
         Ow = self.map.kf_center(kf)
         # host-side frustum gates (cheap numpy), device for the matching
-        pids = [p for p in pids if kf not in self.map.pt_obs.get(p, {})]
-        if not pids:
+        obs = self.map.pt_obs
+        pids = np.asarray(
+            [int(p) for p in pids if kf not in obs.get(int(p), ())], np.int64
+        )
+        if pids.size == 0:
             return
         pos, desc, normal, dmin, dmax = self.map.points_array(pids)
         pc = pos.astype(np.float64) @ T[:3, :3].T + T[:3, 3]
@@ -474,33 +491,44 @@ class LocalMapper:
 
     def _local_ba(self, kf: int):
         """Assemble and solve the local bundle (reference
-        Optimizer::LocalBundleAdjustment, src/Optimizer.cpp:426-787)."""
+        Optimizer::LocalBundleAdjustment, src/Optimizer.cpp:426-787).
+        Assembly and write-back hold the map lock; the (interruptible)
+        device solve runs without it."""
+        with self.lock:
+            prob, meta = self._assemble_local_ba(kf)
+        if prob is None:
+            return
+        # interruptible schedule: the tracker's interrupt_ba() (reference
+        # mbAbortBA, LocalMapping.cpp:109-114) is honored between LM
+        # iterations; on abort the partial estimate is still written back
+        res = ba.ba_solve_pm_interruptible(
+            prob, self.cam, should_abort=lambda: self._abort_ba
+        )
+        with self.lock:
+            apply_pm_result(self.map, res, meta)
+
+    def _assemble_local_ba(self, kf: int):
         local_kfs = [kf] + self.map.covisible_keyframes(kf)
         local_set = set(local_kfs)
-        pts: List[int] = []
-        seen = set()
-        for k in local_kfs:
-            for p in self.map.kf_point[k]:
-                if p >= 0 and p in self.map.pt_valid and p not in seen:
-                    seen.add(p)
-                    pts.append(int(p))
+        cand = np.unique(
+            np.concatenate([self.map.kf_point[k] for k in local_kfs])
+        )
+        pts = [int(p) for p in cand[self.map.valid_mask(cand)]]
         fixed: List[int] = []
+        fixed_set = set()
         for p in pts:
             for k in self.map.pt_obs[p]:
-                if k not in local_set and k in self.map.kf_valid and k not in fixed:
+                if k not in local_set and k in self.map.kf_valid and k not in fixed_set:
+                    fixed_set.add(k)
                     fixed.append(k)
         all_kfs = local_kfs + fixed
         kf_index = {k: i for i, k in enumerate(all_kfs)}
         pt_index = {p: i for i, p in enumerate(pts)}
 
-        prob, meta = assemble_pm_problem(
+        return assemble_pm_problem(
             self.map, self.frontend, all_kfs, pts, kf_index, pt_index,
             local_kfs,
         )
-        if prob is None:
-            return
-        res = self._jit_ba(prob, self.cam)
-        apply_pm_result(self.map, res, meta)
 
     # -------------------------------------------------------------------
 
@@ -508,33 +536,37 @@ class LocalMapper:
         """Reference LocalMapping::KeyFrameCulling (LocalMapping.cpp:609-670):
         a local keyframe is redundant if >=90% of its points are seen by >=3
         other keyframes at the same or finer scale."""
-        for k in self.map.covisible_keyframes(kf):
-            if k == 0 or k not in self.map.kf_valid:
+        m = self.map
+        for k in m.covisible_keyframes(kf):
+            if k == 0 or k not in m.kf_valid:
                 continue
-            f = self.map.kf_frame[k]
-            n_pts = 0
+            f = m.kf_frame[k]
+            pids = m.kf_point[k]
+            counted = m.valid_mask(pids)
+            # stereo rule: only near points count (LocalMapping.cpp:628-631)
+            if not self.config.monocular:
+                counted &= (f.depth <= self.config.depth_threshold) & (
+                    f.depth >= 0
+                )
+            n_pts = int(counted.sum())
+            if n_pts == 0:
+                continue
+            # only points seen >3 times can be redundant; the per-point
+            # octave walk below runs on that (small) candidate set only
+            cand = counted.copy()
+            cand[counted] = m.pt_nobs[pids[counted]] > 3
             n_redundant = 0
-            for idx, pid in enumerate(self.map.kf_point[k]):
-                if pid < 0 or pid not in self.map.pt_valid:
-                    continue
-                # stereo rule: only near points count (LocalMapping.cpp:628-631)
-                if not self.config.monocular and (
-                    f.depth[idx] > self.config.depth_threshold or f.depth[idx] < 0
-                ):
-                    continue
-                n_pts += 1
-                if self.map.n_observations(int(pid)) <= 3:
-                    continue
+            for idx in np.nonzero(cand)[0]:
                 level = f.octave[idx]
                 n_obs_fine = 0
-                for ok, oidx in self.map.pt_obs[int(pid)].items():
-                    if ok == k or ok not in self.map.kf_valid:
+                for ok, oidx in m.pt_obs[int(pids[idx])].items():
+                    if ok == k or ok not in m.kf_valid:
                         continue
-                    if self.map.kf_frame[ok].octave[oidx] <= level + 1:
+                    if m.kf_frame[ok].octave[oidx] <= level + 1:
                         n_obs_fine += 1
                         if n_obs_fine >= 3:
                             break
                 if n_obs_fine >= 3:
                     n_redundant += 1
-            if n_pts > 0 and n_redundant > 0.9 * n_pts:
-                self.map.remove_keyframe(k)
+            if n_redundant > 0.9 * n_pts:
+                m.remove_keyframe(k)

@@ -51,6 +51,7 @@ class LoopCloser:
         self.config = config
         self.frontend = frontend
         self.map = slam_map
+        self.lock = slam_map.lock  # map-update lock (mMutexMapUpdate)
         self.reloc = relocalizer  # owns vocabulary + database
         self.local_mapper = local_mapper
         self.fix_scale = fix_scale
@@ -63,13 +64,15 @@ class LoopCloser:
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.last_loop_kf = -MIN_LOOP_GAP
         self.n_loops_closed = 0
+        #: wall-clock (t_start, t_end) of each loop correction incl. GBA —
+        #: lets tests/tools verify tracking overlapped the correction
+        self.correction_windows: List[Tuple[float, float]] = []
         self.timers = None  # StageTimers, wired by System
         self._key = jax.random.PRNGKey(7)
 
         self._jit_ransac = jax.jit(
             sim3solve.sim3_ransac, static_argnames=("fix_scale", "n_hyp")
         )
-        self._jit_gba = ba.ba_solve_pm_jit
         self._jit_match_bow = jax.jit(matchers.search_by_bow)
         self._jit_opt_sim3 = jax.jit(
             sim3solve.optimize_sim3, static_argnames=("fix_scale", "n_iters")
@@ -89,23 +92,29 @@ class LoopCloser:
         return self.timers.span(name) if self.timers else contextlib.nullcontext()
 
     def insert_keyframe(self, kf: int) -> bool:
-        """Process one keyframe; returns True if a loop was closed."""
+        """Process one keyframe; returns True if a loop was closed.
+        Runs in the mapping worker thread when the pipeline is threaded;
+        each phase manages the map lock (device solves run outside it)."""
         closed = False
         if (
             self.map.n_keyframes() > MIN_LOOP_GAP
             and kf >= self.last_loop_kf + MIN_LOOP_GAP
         ):
-            with self._span("Loop detection"):
+            with self.lock, self._span("Loop detection"):
                 detected = self._detect_loop(kf)
             if detected:
-                with self._span("Sim3 computation"):
+                # reference sim3_detection_time spans the whole ComputeSim3
+                # (LoopClosing.cpp:55-59); sim3_computation_time spans the
+                # solver iterations inside it (:285-288)
+                with self.lock, self._span("Sim3 detection"):
                     matched = self._compute_sim3(kf)
                 if matched:
                     self._correct_loop(kf)
                     closed = True
         # the reference adds the KF to the database at the end of DetectLoop
-        if kf not in self.reloc.database.kf_words:
-            self.reloc.add_keyframe(kf)
+        with self.lock:
+            if kf not in self.reloc.database.kf_words:
+                self.reloc.add_keyframe(kf)
         return closed
 
     # ------------------------------------------------------------------
@@ -220,13 +229,15 @@ class LoopCloser:
                 continue
 
             self._key, sub = jax.random.split(self._key)
-            res = self._jit_ransac(
-                sub, jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1),
-                jnp.asarray(uv2), jnp.asarray(me1), jnp.asarray(me2),
-                jnp.asarray(valid), self.frontend.camera,
-                fix_scale=self.fix_scale,
-            )
-            if int(res.n_inliers) < 20:
+            with self._span("Sim3 computation"):
+                res = self._jit_ransac(
+                    sub, jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1),
+                    jnp.asarray(uv2), jnp.asarray(me1), jnp.asarray(me2),
+                    jnp.asarray(valid), self.frontend.camera,
+                    fix_scale=self.fix_scale,
+                )
+                n_inl_ransac = int(res.n_inliers)
+            if n_inl_ransac < 20:
                 continue
 
             # guided Sim3 matching (reference SearchBySim3, ORBmatcher.cpp:
@@ -298,15 +309,15 @@ class LoopCloser:
             Scw = sim3_mod.compose(S12, S2w)
 
             # gather loop-region points and verify by projection (>=40)
-            loop_pts: List[int] = []
-            seen = set()
-            for k in [cand] + self.map.covisible_keyframes(cand):
-                if k not in self.map.kf_valid:
-                    continue
-                for pid in self.map.kf_point[k]:
-                    if pid >= 0 and pid in self.map.pt_valid and pid not in seen:
-                        seen.add(pid)
-                        loop_pts.append(int(pid))
+            group = [
+                k
+                for k in [cand] + self.map.covisible_keyframes(cand)
+                if k in self.map.kf_valid
+            ]
+            ids = np.unique(
+                np.concatenate([self.map.kf_point[k] for k in group])
+            )
+            loop_pts = [int(p) for p in ids[self.map.valid_mask(ids)]]
             matched = self._search_by_sim3_projection(kf, Scw, loop_pts, th=10.0)
             total = len(matched)
             for i, pid in matches.items():
@@ -345,9 +356,11 @@ class LoopCloser:
             )
             return self._search_by_sim3_projection(kf_target, S, pids, th=7.5)
 
-        pids2 = [int(p) for p in m.kf_point[kf2] if p >= 0 and p in m.pt_valid]
-        pids1 = [int(p) for p in m.kf_point[kf1] if p >= 0 and p in m.pt_valid]
-        if not pids1 or not pids2:
+        kp2 = m.kf_point[kf2]
+        kp1 = m.kf_point[kf1]
+        pids2 = kp2[m.valid_mask(kp2)]
+        pids1 = kp1[m.valid_mask(kp1)]
+        if pids1.size == 0 or pids2.size == 0:
             return {}
         m12 = project_points(kf1, S1w, pids2)  # kf1 feat -> kf2 pid
         m21 = project_points(kf2, S2w, pids1)  # kf2 feat -> kf1 pid
@@ -372,7 +385,8 @@ class LoopCloser:
         """Reference SearchByProjection(KF, Scw, points, ...) — project loop
         points into the keyframe under the Sim3 and match (ORBmatcher.cpp:
         241-352). Returns feature idx -> pid."""
-        if not pids:
+        pids = np.asarray(pids, np.int64)
+        if pids.size == 0:
             return {}
         f = self.map.kf_frame[kf]
         c = self.config.camera
@@ -425,17 +439,41 @@ class LoopCloser:
         for j in range(len(pids)):
             fi = int(best_idx[j])
             if fi >= 0 and fi not in out:
-                out[fi] = pids[j]
+                out[fi] = int(pids[j])
         return out
 
     # ------------------------------------------------------------------
 
     def _correct_loop(self, kf: int):
-        """Reference LoopClosing::CorrectLoop (LoopClosing.cpp:387-605)."""
+        """Reference LoopClosing::CorrectLoop (LoopClosing.cpp:387-605).
+        The Sim3 propagation/fusion and the essential-graph write-back run
+        under the map lock; the pose-graph solve and the global BA run
+        outside it (GBA chunked + staged, reference LoopClosing.cpp:
+        566-570 GBA thread + 636-747 staged correction)."""
+        import time
+
+        t0 = time.monotonic()
         m = self.map
         if self.local_mapper is not None:
             self.local_mapper.request_stop()
+        with self.lock:
+            pg_args = self._correct_loop_locked(kf)
+        with self._span("Essential graph"):
+            self._optimize_essential_graph(kf, *pg_args)
 
+        with self._span("Global BA"):
+            self._global_ba(kf)
+
+        if self.local_mapper is not None:
+            self.local_mapper.release()
+        self.last_loop_kf = kf
+        self.n_loops_closed += 1
+        with self.lock:
+            m.big_change_idx += 1  # MapChanged() (reference Map.cpp:42-52)
+        self.correction_windows.append((t0, time.monotonic()))
+
+    def _correct_loop_locked(self, kf: int):
+        m = self.map
         current_group = [kf] + m.covisible_keyframes(kf)
         R, t, s = _np_sim3(self._Scw)
 
@@ -453,21 +491,21 @@ class LoopCloser:
                 # Siw_corr = Sic ∘ Scw  (s_ic = 1)
                 corrected[ki] = (Ric @ R, Ric @ t + tic, s)
 
-        # correct map points of the group and keyframe poses
-        done_pts: Set[int] = set()
+        # correct map points of the group and keyframe poses (vectorized
+        # per group member; each point corrected once via its first member)
+        done_mask = np.zeros(m._pt_capacity(), bool)
         for ki in current_group:
             Rc, tc, sc = corrected[ki]
             Tiw_old = non_corrected[ki]
-            Riw_corr_inv = Rc.T
-            for pid in m.kf_point[ki]:
-                if pid < 0 or pid in done_pts or pid not in m.pt_valid:
-                    continue
-                done_pts.add(int(pid))
-                pw = m.pt_pos[int(pid)]
-                pc = Tiw_old[:3, :3] @ pw + Tiw_old[:3, 3]  # old cam coords
-                # corrected world: Siw_corr^-1 (pc)
-                pw_new = Riw_corr_inv @ ((pc - tc) / sc)
-                m.pt_pos[int(pid)] = pw_new
+            kp = m.kf_point[ki]
+            ids = np.unique(kp[m.valid_mask(kp)])
+            ids = ids[~done_mask[ids]]
+            done_mask[ids] = True
+            if ids.size:
+                pw = m.pt_pos[ids]
+                pc = pw @ Tiw_old[:3, :3].T + Tiw_old[:3, 3]  # old cam coords
+                # corrected world: Siw_corr^-1 (pc), row-wise Rc^T apply
+                m.pt_pos[ids] = ((pc - tc) / sc) @ Rc
             # pose = [R | t/s]
             T_new = np.eye(4, dtype=np.float32)
             T_new[:3, :3] = Rc
@@ -523,23 +561,11 @@ class LoopCloser:
                 loop_connections[ki] = fresh
 
         fusion_span.__exit__(None, None, None)
-        with self._span("Essential graph"):
-            self._optimize_essential_graph(
-                kf, corrected, non_corrected, loop_connections
-            )
 
         # loop edge bookkeeping
         m.loop_edges[kf].add(self._matched_kf)
         m.loop_edges[self._matched_kf].add(kf)
-
-        with self._span("Global BA"):
-            self._global_ba(kf)
-
-        if self.local_mapper is not None:
-            self.local_mapper.release()
-        self.last_loop_kf = kf
-        self.n_loops_closed += 1
-        m.big_change_idx += 1  # MapChanged() signal (reference Map.cpp:42-52)
+        return corrected, non_corrected, loop_connections
 
     # ------------------------------------------------------------------
 
@@ -547,80 +573,96 @@ class LoopCloser:
         self, cur_kf, corrected, non_corrected, loop_connections
     ):
         """Assemble the essential graph (reference Optimizer.cpp:790-1052)
-        and solve with the batched Sim3 GN."""
+        and solve with the batched Sim3 GN. Assembly and write-back hold
+        the map lock; the device solve runs without it."""
         from ..ops import posegraph
 
         m = self.map
-        kfs = sorted(m.kf_valid)
-        index = {k: i for i, k in enumerate(kfs)}
-        K = len(kfs)
 
-        Rv = np.zeros((K, 3, 3), np.float32)
-        tv = np.zeros((K, 3), np.float32)
-        sv = np.ones(K, np.float32)
-        for k, i in index.items():
-            if k in corrected:
-                Rc, tc, sc = corrected[k]
-                Rv[i], tv[i], sv[i] = Rc, tc, sc
-            else:
-                T = m.kf_pose[k]
-                Rv[i], tv[i] = T[:3, :3], T[:3, 3]
+        def assemble():
+            kfs = sorted(m.kf_valid)
+            index = {k: i for i, k in enumerate(kfs)}
+            K = len(kfs)
 
-        def siw_old(k):
-            if k in non_corrected:
-                T = non_corrected[k]
-            else:
-                T = m.kf_pose[k].astype(np.float64)
-            return T[:3, :3], T[:3, 3], 1.0
+            Rv = np.zeros((K, 3, 3), np.float32)
+            tv = np.zeros((K, 3), np.float32)
+            sv = np.ones(K, np.float32)
+            for k, i in index.items():
+                if k in corrected:
+                    Rc, tc, sc = corrected[k]
+                    Rv[i], tv[i], sv[i] = Rc, tc, sc
+                else:
+                    T = m.kf_pose[k]
+                    Rv[i], tv[i] = T[:3, :3], T[:3, 3]
 
-        edges = []  # (i, j, Rji, tji, sji)
-        added = set()
+            def siw_old(k):
+                if k in non_corrected:
+                    T = non_corrected[k]
+                else:
+                    T = m.kf_pose[k].astype(np.float64)
+                return T[:3, :3], T[:3, 3], 1.0
 
-        def add_edge(ka, kb, use_old=True):
-            if ka not in index or kb not in index:
-                return
-            pair = (min(ka, kb), max(ka, kb))
-            if pair in added:
-                return
-            added.add(pair)
-            # measurement Sji = Sj ∘ Si^-1 from (pre-correction) poses
-            Ri, ti, si = siw_old(ka)
-            Rj, tj, sj = siw_old(kb)
-            Rji = Rj @ Ri.T
-            tji = tj - Rji @ ti
-            edges.append((index[ka], index[kb], Rji, tji, 1.0))
+            edges = []  # (i, j, Rji, tji, sji)
+            added = set()
 
-        # loop connections (use corrected/current poses — these are the new
-        # constraints discovered by fusion; reference uses current estimates)
-        for ka, fresh in loop_connections.items():
-            for kb in fresh:
+            def add_edge(ka, kb):
                 if ka not in index or kb not in index:
-                    continue
+                    return
                 pair = (min(ka, kb), max(ka, kb))
                 if pair in added:
-                    continue
+                    return
                 added.add(pair)
-                def siw_now(k, i):
-                    return Rv[i].astype(np.float64), tv[i].astype(np.float64)
-                Ri, ti = siw_now(ka, index[ka])
-                Rj, tj = siw_now(kb, index[kb])
+                # measurement Sji = Sj ∘ Si^-1 from (pre-correction) poses
+                Ri, ti, si = siw_old(ka)
+                Rj, tj, sj = siw_old(kb)
                 Rji = Rj @ Ri.T
                 tji = tj - Rji @ ti
                 edges.append((index[ka], index[kb], Rji, tji, 1.0))
 
-        for k in kfs:
-            par = m.parent.get(k)
-            if par is not None and par in index:
-                add_edge(k, par)
-            for le in m.loop_edges.get(k, ()):
-                if le < k:
-                    add_edge(k, le)
-            for nb, w in m.covis.get(k, {}).items():
-                if w >= 100 and nb < k and nb not in m.children.get(k, set()):
-                    add_edge(k, nb)
-        # the fresh loop edge between current and matched KF
-        add_edge(cur_kf, self._matched_kf, use_old=False)
+            # loop connections (use corrected/current poses — these are the
+            # new constraints discovered by fusion; reference uses current
+            # estimates)
+            for ka, fresh in loop_connections.items():
+                for kb in fresh:
+                    if ka not in index or kb not in index:
+                        continue
+                    pair = (min(ka, kb), max(ka, kb))
+                    if pair in added:
+                        continue
+                    added.add(pair)
 
+                    def siw_now(i):
+                        return Rv[i].astype(np.float64), tv[i].astype(np.float64)
+
+                    Ri, ti = siw_now(index[ka])
+                    Rj, tj = siw_now(index[kb])
+                    Rji = Rj @ Ri.T
+                    tji = tj - Rji @ ti
+                    edges.append((index[ka], index[kb], Rji, tji, 1.0))
+
+            for k in kfs:
+                par = m.parent.get(k)
+                if par is not None and par in index:
+                    add_edge(k, par)
+                for le in m.loop_edges.get(k, ()):
+                    if le < k:
+                        add_edge(k, le)
+                for nb, w in m.covis.get(k, {}).items():
+                    if w >= 100 and nb < k and nb not in m.children.get(k, set()):
+                        add_edge(k, nb)
+            # the fresh loop edge between current and matched KF
+            add_edge(cur_kf, self._matched_kf)
+
+            # snapshot of pre-optimization poses for the point correction
+            old_poses = {k: m.kf_pose[k].astype(np.float64).copy() for k in kfs}
+            for k in non_corrected:
+                if k in m.kf_valid:
+                    old_poses[k] = non_corrected[k].copy()
+            return kfs, index, Rv, tv, sv, edges, old_poses
+
+        with self.lock:
+            kfs, index, Rv, tv, sv, edges, old_poses = assemble()
+        K = len(kfs)
         if not edges:
             return
         E = len(edges)
@@ -661,49 +703,66 @@ class LoopCloser:
         V_opt = jax.device_get(V_opt)  # one batched fetch
         R_opt, t_opt, s_opt = V_opt.R, V_opt.t, V_opt.s
 
-        # correct points via their reference keyframe: p' = S_corr^-1(S_old p)
-        old_poses = {k: m.kf_pose[k].astype(np.float64).copy() for k in kfs}
-        if non_corrected:
-            for k in non_corrected:
-                if k in m.kf_valid:
-                    old_poses[k] = non_corrected[k].copy()
-        for pid in list(m.pt_valid):
-            ref = m.pt_ref_kf.get(pid)
-            if ref not in index:
-                continue
-            i = index[ref]
-            T_old = old_poses[ref]
-            pw = m.pt_pos[pid]
-            pc = T_old[:3, :3] @ pw + T_old[:3, 3]
-            Rn, tn, sn = R_opt[i].astype(np.float64), t_opt[i].astype(np.float64), float(s_opt[i])
-            m.pt_pos[pid] = Rn.T @ ((pc - tn) / sn)
-        for k, i in index.items():
-            T = np.eye(4, dtype=np.float32)
-            T[:3, :3] = R_opt[i]
-            T[:3, 3] = t_opt[i] / s_opt[i]
-            m.kf_pose[k] = T
-        for pid in list(m.pt_valid):
-            m.update_normal_and_depth(pid)
+        # write-back under the map lock: correct points via their reference
+        # keyframe, p' = S_corr^-1(S_old p) — one batched pass over all
+        # valid points, grouped by ref keyframe
+        with self.lock:
+            old_T = np.stack([old_poses[k] for k in kfs])  # [K,4,4]
+            kf_lut = np.full(max(kfs) + 2, -1, np.int64)  # kf id -> vertex
+            kf_lut[np.asarray(kfs)] = np.arange(K)
+            pids = m.pt_ids()
+            refs = m.pt_ref_kf[pids]
+            ok = (refs >= 0) & (refs < len(kf_lut))
+            ok[ok] = kf_lut[refs[ok]] >= 0
+            pids = pids[ok]
+            vi = kf_lut[m.pt_ref_kf[pids]]
+            pw = m.pt_pos[pids]
+            T_old = old_T[vi]
+            pc = np.einsum("nij,nj->ni", T_old[:, :3, :3], pw) + T_old[:, :3, 3]
+            Rn = R_opt[vi].astype(np.float64)
+            tn = t_opt[vi].astype(np.float64)
+            sn = s_opt[vi].astype(np.float64)
+            v = (pc - tn) / sn[:, None]
+            m.pt_pos[pids] = np.einsum("nji,nj->ni", Rn, v)  # R^T @ v per row
+            for k, i in index.items():
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = R_opt[i]
+                T[:3, 3] = t_opt[i] / s_opt[i]
+                m.kf_pose[k] = T
+            m.update_normals_batch(m.pt_ids())
 
     # ------------------------------------------------------------------
 
     def _global_ba(self, kf: int):
         """Full-map BA (reference RunGlobalBundleAdjustment,
-        LoopClosing.cpp:607-758; Optimizer::GlobalBundleAdjustemnt)."""
-        m = self.map
-        kfs = sorted(m.kf_valid)
-        pts = sorted(m.pt_valid)
-        if len(kfs) < 2 or len(pts) < 10:
-            return
-        kf_index = {k: i for i, k in enumerate(kfs)}
-        pt_index = {p: i for i, p in enumerate(pts)}
-        from .ba_assembly import apply_pm_result, assemble_pm_problem
+        LoopClosing.cpp:607-758; Optimizer::GlobalBundleAdjustemnt).
 
-        prob, meta = assemble_pm_problem(
-            m, self.frontend, kfs, pts, kf_index, pt_index, kfs
-        )
+        Staged two-phase commit (the mTcwGBA pattern, Optimizer.cpp:
+        170-199): the problem is assembled from a snapshot under the map
+        lock, the solve runs OUTSIDE the lock (chunked, so the tracker's
+        device programs interleave with it and frames keep flowing), and
+        the results are applied at the end under the lock — with
+        spanning-tree propagation to keyframes/points the tracker created
+        while the solve was running (LoopClosing.cpp:673-733)."""
+        m = self.map
+        from .ba_assembly import assemble_pm_problem
+
+        with self.lock:
+            kfs = sorted(m.kf_valid)
+            pts = [int(p) for p in m.pt_ids()]
+            if len(kfs) < 2 or len(pts) < 10:
+                return
+            kf_index = {k: i for i, k in enumerate(kfs)}
+            pt_index = {p: i for i, p in enumerate(pts)}
+            prob, meta = assemble_pm_problem(
+                m, self.frontend, kfs, pts, kf_index, pt_index, kfs
+            )
         if prob is None:
             return
+        # let the tracker create keyframes again while GBA runs (the
+        # reference releases LocalMapping before spawning the GBA thread)
+        if self.local_mapper is not None:
+            self.local_mapper.release()
         if self.mesh is not None:
             from ..parallel import dist_ba as dist_ba_mod
 
@@ -721,8 +780,64 @@ class LoopCloser:
                 points=res.points[:P], edge_inlier=res.edge_inlier[:P]
             )
         else:
-            res = self._jit_gba(prob, self.frontend.camera, n_iters_first=5,
-                                n_iters_second=10)
-        # staged write-back (the mTcwGBA two-phase commit collapses to a
-        # single phase in the host-sequenced pipeline)
+            res = ba.ba_solve_pm_interruptible(
+                prob, self.frontend.camera, n_iters_first=5, n_iters_second=10
+            )
+        with self.lock, self._span("Graph update"):
+            self._apply_gba_staged(res, meta, kfs, pts)
+
+    def _apply_gba_staged(self, res, meta, solved_kfs, solved_pts):
+        """Apply GBA results + propagate to state created during the solve
+        (reference LoopClosing.cpp:673-733): child keyframes get
+        Tcw_new = (Tcw_child · Tcw_parent^-1) · Tcw_parent_corrected via the
+        spanning tree; points created meanwhile move with their reference
+        keyframe."""
+        from .ba_assembly import apply_pm_result
+
+        m = self.map
+        solved_set = set(solved_kfs)
+        # poses before correction, for relative-pose propagation
+        pre = {k: m.kf_pose[k].astype(np.float64).copy() for k in m.kf_pose}
         apply_pm_result(m, res, meta)
+        # keyframes created during the solve, ascending id => parents first
+        new_kfs = sorted(k for k in m.kf_valid if k not in solved_set)
+        for k in new_kfs:
+            par = m.parent.get(k)
+            if par is None or par not in pre:
+                continue
+            T_rel = pre[k] @ np.linalg.inv(pre[par])
+            m.kf_pose[k] = (T_rel @ m.kf_pose[par].astype(np.float64)).astype(
+                np.float32
+            )
+        # points created during the solve: move with their ref keyframe
+        solved_pt_mask = np.zeros(m._pt_capacity(), bool)
+        solved_pt_mask[np.asarray(solved_pts, np.int64)] = True
+        all_ids = m.pt_ids()
+        new_pts = all_ids[~solved_pt_mask[all_ids]]
+        if new_pts.size:
+            refs = m.pt_ref_kf[new_pts]
+            ref_ids = np.array(
+                sorted({int(r) for r in refs if int(r) in m.kf_valid}), np.int64
+            )
+            if ref_ids.size:
+                lut = np.full(int(ref_ids.max()) + 2, -1, np.int64)
+                lut[ref_ids] = np.arange(len(ref_ids))
+                sel = (refs >= 0) & (refs <= ref_ids.max())
+                sel[sel] = lut[refs[sel]] >= 0
+                ids = new_pts[sel]
+                vi = lut[m.pt_ref_kf[ids]]
+                pre_T = np.stack([pre[int(k)] for k in ref_ids])
+                new_T = np.stack(
+                    [m.kf_pose[int(k)].astype(np.float64) for k in ref_ids]
+                )
+                new_Twc = np.linalg.inv(new_T)
+                pw = m.pt_pos[ids]
+                pc = (
+                    np.einsum("nij,nj->ni", pre_T[vi][:, :3, :3], pw)
+                    + pre_T[vi][:, :3, 3]
+                )
+                m.pt_pos[ids] = (
+                    np.einsum("nij,nj->ni", new_Twc[vi][:, :3, :3], pc)
+                    + new_Twc[vi][:, :3, 3]
+                )
+        m.update_normals_batch(new_pts)

@@ -3,9 +3,16 @@
 Functional-state redesign of the reference's pointer web (KeyFrame /
 MapPoint / Map classes, src/KeyFrame.cpp, src/MapPoint.cpp, src/Map.cpp):
 struct-of-arrays numpy state on the host with integer ids, no per-object
-mutexes (the host runtime is single-threaded per stage; device work is
-purely functional). Device kernels get dense array views assembled from
-this store.
+mutexes (device work is purely functional; the threaded pipeline
+serializes map access behind one map lock, mirroring the reference's
+mMutexMapUpdate — Tracking.cpp:260). Device kernels get dense array views
+assembled from this store.
+
+Point state is DENSE ARRAYS indexed by point id (ids are monotonically
+allocated, never reused; tombstoned via the `pt_valid` mask), per the
+SURVEY §7 stance: per-frame map admin is vectorized gathers/scatters, not
+per-object dict walks. Keyframe state stays dict-keyed (cardinality is
+hundreds, not hundreds of thousands).
 
 Conventions: keyframe ids and point ids are stable ints; `-1` means none.
 Deleted rows are masked via `kf_valid` / `pt_valid` (tombstones), matching
@@ -34,7 +41,78 @@ def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x, axis=-1).sum(axis=-1)
 
 
+class IdSet:
+    """Set-like view over a dense bool mask (ascending iteration order).
+
+    Supports the set API the pipeline uses (`in`, add/discard, len, iter)
+    plus vectorized membership (`mask_of`) and id extraction (`ids`) so
+    hot paths never loop per element.
+    """
+
+    __slots__ = ("_mask", "_n")
+
+    def __init__(self, cap: int = 1024):
+        self._mask = np.zeros(cap, bool)
+        self._n = 0
+
+    def _ensure(self, pid: int):
+        if pid >= len(self._mask):
+            new = np.zeros(max(pid + 1, 2 * len(self._mask)), bool)
+            new[: len(self._mask)] = self._mask
+            self._mask = new
+
+    def add(self, pid: int):
+        pid = int(pid)
+        self._ensure(pid)
+        if not self._mask[pid]:
+            self._mask[pid] = True
+            self._n += 1
+
+    def add_range(self, base: int, n: int):
+        if n <= 0:
+            return
+        self._ensure(base + n - 1)
+        seg = self._mask[base : base + n]
+        self._n += int(n - seg.sum())
+        seg[:] = True
+
+    def discard(self, pid: int):
+        pid = int(pid)
+        if 0 <= pid < len(self._mask) and self._mask[pid]:
+            self._mask[pid] = False
+            self._n -= 1
+
+    def __contains__(self, pid) -> bool:
+        pid = int(pid)
+        return 0 <= pid < len(self._mask) and bool(self._mask[pid])
+
+    def __iter__(self):
+        return iter(np.nonzero(self._mask)[0].tolist())
+
+    def __len__(self) -> int:
+        return self._n
+
+    def ids(self) -> np.ndarray:
+        """All member ids, ascending."""
+        return np.nonzero(self._mask)[0]
+
+    def __eq__(self, other):
+        if isinstance(other, IdSet):
+            return np.array_equal(self.ids(), other.ids())
+        return set(iter(self)) == set(other)
+
+    def mask_of(self, ids) -> np.ndarray:
+        """Vectorized membership test for an int array (negatives -> False)."""
+        ids = np.asarray(ids)
+        ok = (ids >= 0) & (ids < len(self._mask))
+        out = np.zeros(ids.shape, bool)
+        out[ok] = self._mask[ids[ok]]
+        return out
+
+
 class SlamMap:
+    _PT_CAP0 = 4096
+
     def __init__(self, n_kp: int, n_levels: int = 8, scale_factor: float = 1.2):
         self.n_kp = n_kp
         self.n_levels = n_levels
@@ -63,24 +141,89 @@ class SlamMap:
         self.kf_first_connection: Dict[int, bool] = {}
         self.Tcp: Dict[int, np.ndarray] = {}  # pose relative to parent at cull time
 
-        # --- map points ---
-        self.pt_pos: Dict[int, np.ndarray] = {}  # [3]
-        self.pt_desc: Dict[int, np.ndarray] = {}  # [8] uint32
-        self.pt_normal: Dict[int, np.ndarray] = {}
-        self.pt_min_dist: Dict[int, float] = {}
-        self.pt_max_dist: Dict[int, float] = {}
+        # --- map points: dense arrays indexed by pid ---
+        cap = self._PT_CAP0
+        self.pt_pos = np.zeros((cap, 3), np.float64)
+        self.pt_desc = np.zeros((cap, 8), np.uint32)
+        self.pt_normal = np.zeros((cap, 3), np.float64)
+        self.pt_min_dist = np.zeros(cap, np.float64)
+        self.pt_max_dist = np.zeros(cap, np.float64)
+        self.pt_ref_kf = np.full(cap, -1, np.int64)
+        self.pt_first_kf_id = np.full(cap, -1, np.int64)
+        self.pt_visible = np.zeros(cap, np.int64)
+        self.pt_found = np.zeros(cap, np.int64)
+        # cached observation count with the reference's stereo-counts-double
+        # rule (MapPoint.cpp:83-86), maintained incrementally so
+        # n_observations() is O(1) and vectorizable
+        self.pt_nobs = np.zeros(cap, np.int64)
         self.pt_obs: Dict[int, Dict[int, int]] = {}  # pid -> {kf: feat_idx}
-        self.pt_ref_kf: Dict[int, int] = {}
-        self.pt_first_kf_id: Dict[int, int] = {}
-        self.pt_visible: Dict[int, int] = {}
-        self.pt_found: Dict[int, int] = {}
-        self.pt_valid: Set[int] = set()
+        self.pt_valid = IdSet(cap)
         self.pt_replaced: Dict[int, int] = {}  # pid -> replacement pid
         self._next_pt = 0
 
         self.keyframe_origins: List[int] = []
         self.big_change_idx = 0
         self.on_keyframe_removed = None  # callback(kf) — database erase hook
+
+        # The one map-update lock (reference mMutexMapUpdate, Map.hpp /
+        # Tracking.cpp:260): in threaded mode the tracker holds it for its
+        # host map-admin sections and the mapping worker holds it for
+        # mutations, releasing around device waits. Re-entrant so nested
+        # stage calls on one thread are safe; uncontended cost is ~100ns.
+        import threading
+
+        self.lock = threading.RLock()
+
+    # ------------------------------------------------------------------
+    # point-row allocation
+    # ------------------------------------------------------------------
+
+    def _pt_capacity(self) -> int:
+        return len(self.pt_max_dist)
+
+    def ensure_pt_capacity(self, need: int):
+        cap = self._pt_capacity()
+        if need <= cap:
+            return
+        new_cap = cap
+        while new_cap < need:
+            new_cap *= 2
+
+        def grow(a, fill=0):
+            out = np.full((new_cap,) + a.shape[1:], fill, a.dtype)
+            out[:cap] = a
+            return out
+
+        self.pt_pos = grow(self.pt_pos)
+        self.pt_desc = grow(self.pt_desc)
+        self.pt_normal = grow(self.pt_normal)
+        self.pt_min_dist = grow(self.pt_min_dist)
+        self.pt_max_dist = grow(self.pt_max_dist)
+        self.pt_ref_kf = grow(self.pt_ref_kf, -1)
+        self.pt_first_kf_id = grow(self.pt_first_kf_id, -1)
+        self.pt_visible = grow(self.pt_visible)
+        self.pt_found = grow(self.pt_found)
+        self.pt_nobs = grow(self.pt_nobs)
+
+    def _alloc_points(self, n: int) -> int:
+        """Reserve n fresh contiguous point ids; returns the base id."""
+        base = self._next_pt
+        self._next_pt += n
+        self.ensure_pt_capacity(self._next_pt)
+        self.pt_valid.add_range(base, n)
+        ids = np.arange(base, base + n)
+        self.pt_visible[ids] = 1
+        self.pt_found[ids] = 1
+        self.pt_nobs[ids] = 0
+        return base
+
+    def pt_ids(self) -> np.ndarray:
+        """All valid point ids, ascending."""
+        return self.pt_valid.ids()
+
+    def valid_mask(self, ids) -> np.ndarray:
+        """Vectorized `pid in pt_valid` over an int array."""
+        return self.pt_valid.mask_of(ids)
 
     # ------------------------------------------------------------------
     # keyframes
@@ -116,11 +259,12 @@ class SlamMap:
         """Recount shared points -> covisibility weights; maintain spanning
         tree parent (reference KeyFrame::UpdateConnections)."""
         counter: Dict[int, int] = {}
-        for pid in self.kf_point[kf]:
-            if pid >= 0 and pid in self.pt_valid:
-                for okf in self.pt_obs[pid]:
-                    if okf != kf and okf in self.kf_valid:
-                        counter[okf] = counter.get(okf, 0) + 1
+        pids = self.kf_point[kf]
+        ok = self.valid_mask(pids)
+        for pid in pids[ok]:
+            for okf in self.pt_obs[int(pid)]:
+                if okf != kf and okf in self.kf_valid:
+                    counter[okf] = counter.get(okf, 0) + 1
         if not counter:
             return
         best_kf = max(counter, key=counter.get)
@@ -155,22 +299,18 @@ class SlamMap:
     def add_point(
         self, pos: np.ndarray, ref_kf: int, desc: np.ndarray
     ) -> int:
-        pid = self._next_pt
-        self._next_pt += 1
-        self.pt_pos[pid] = np.asarray(pos, np.float64).copy()
-        self.pt_desc[pid] = np.asarray(desc, np.uint32).copy()
-        self.pt_normal[pid] = np.zeros(3)
+        pid = self._alloc_points(1)
+        self.pt_pos[pid] = np.asarray(pos, np.float64)
+        self.pt_desc[pid] = np.asarray(desc, np.uint32)
+        self.pt_normal[pid] = 0.0
         self.pt_min_dist[pid] = 0.0
         self.pt_max_dist[pid] = 0.0
         self.pt_obs[pid] = {}
         self.pt_ref_kf[pid] = ref_kf
         self.pt_first_kf_id[pid] = ref_kf
-        self.pt_visible[pid] = 1
-        self.pt_found[pid] = 1
-        self.pt_valid.add(pid)
         return pid
 
-    def add_stereo_points_batch(self, frame: FrameHost, kf: int, idxs, cam) -> List[int]:
+    def add_stereo_points_batch(self, frame: FrameHost, kf: int, idxs, cam):
         """Create one single-observation point per keypoint index: the
         batched equivalent of the add_point/add_observation/descriptor/
         normal sequence used by stereo initialization and keyframe creation
@@ -180,7 +320,7 @@ class SlamMap:
         `cam` is the camera config (fx/fy/cx/cy attributes)."""
         idxs = np.asarray(idxs, np.int64)
         if idxs.size == 0:
-            return []
+            return np.zeros(0, np.int64)
         T = self.kf_pose[kf].astype(np.float64)
         cam_center = (-T[:3, :3].T @ T[:3, 3])
         f = frame
@@ -198,56 +338,56 @@ class SlamMap:
         levels = f.octave[idxs]
         maxd = dist * self.scale_factors[levels]
         mind = maxd / self.scale_factors[-1]
-        pids = []
-        for j, i in enumerate(idxs):
-            i = int(i)
-            pid = self._next_pt
-            self._next_pt += 1
-            self.pt_pos[pid] = pw[j]
-            self.pt_desc[pid] = np.asarray(f.desc[i], np.uint32).copy()
-            self.pt_normal[pid] = normals[j]
-            self.pt_min_dist[pid] = float(mind[j])
-            self.pt_max_dist[pid] = float(maxd[j])
-            self.pt_obs[pid] = {kf: i}
-            self.pt_ref_kf[pid] = kf
-            self.pt_first_kf_id[pid] = kf
-            self.pt_visible[pid] = 1
-            self.pt_found[pid] = 1
-            self.pt_valid.add(pid)
-            self.kf_point[kf][i] = pid
-            pids.append(pid)
+
+        n = len(idxs)
+        base = self._alloc_points(n)
+        pids = np.arange(base, base + n)
+        self.pt_pos[pids] = pw
+        self.pt_desc[pids] = f.desc[idxs].astype(np.uint32)
+        self.pt_normal[pids] = normals
+        self.pt_min_dist[pids] = mind
+        self.pt_max_dist[pids] = maxd
+        self.pt_ref_kf[pids] = kf
+        self.pt_first_kf_id[pids] = kf
+        self.pt_nobs[pids] = np.where(f.u_right[idxs] >= 0, 2, 1)
+        for j in range(n):
+            self.pt_obs[base + j] = {kf: int(idxs[j])}
+        self.kf_point[kf][idxs] = pids
         return pids
 
+    def _obs_weight(self, kf: int, idx: int) -> int:
+        """Stereo observations count double (reference MapPoint.cpp:83-86)."""
+        return 2 if self.kf_frame[kf].u_right[idx] >= 0 else 1
+
     def add_observation(self, pid: int, kf: int, idx: int):
+        if kf not in self.pt_obs[pid]:
+            self.pt_nobs[pid] += self._obs_weight(kf, idx)
         self.pt_obs[pid][kf] = idx
         self.kf_point[kf][idx] = pid
 
     def erase_observation(self, pid: int, kf: int):
         idx = self.pt_obs[pid].pop(kf, None)
-        if idx is not None and kf in self.kf_point:
-            if self.kf_point[kf][idx] == pid:
+        if idx is not None:
+            if kf in self.kf_valid:
+                self.pt_nobs[pid] -= self._obs_weight(kf, idx)
+            if kf in self.kf_point and self.kf_point[kf][idx] == pid:
                 self.kf_point[kf][idx] = -1
-        if self.pt_ref_kf.get(pid) == kf and self.pt_obs[pid]:
+        if self.pt_ref_kf[pid] == kf and self.pt_obs[pid]:
             self.pt_ref_kf[pid] = next(iter(self.pt_obs[pid]))
-        # stereo observations count double in the reference (MapPoint.cpp:83-86);
-        # we count keyframes, and apply the 2x rule in n_observations().
         if len(self.pt_obs[pid]) <= 1 and pid in self.pt_valid:
             self.remove_point(pid)
 
     def n_observations(self, pid: int) -> int:
-        """Observation count with the reference's stereo-counts-double rule."""
-        n = 0
-        for kf, idx in self.pt_obs.get(pid, {}).items():
-            if kf in self.kf_valid:
-                fr = self.kf_frame[kf]
-                n += 2 if fr.u_right[idx] >= 0 else 1
-        return n
+        """Observation count with the reference's stereo-counts-double rule
+        (cached; maintained incrementally by the observation mutators)."""
+        return int(self.pt_nobs[pid])
 
     def remove_point(self, pid: int):
         for kf, idx in list(self.pt_obs.get(pid, {}).items()):
             if kf in self.kf_point and self.kf_point[kf][idx] == pid:
                 self.kf_point[kf][idx] = -1
         self.pt_obs[pid] = {}
+        self.pt_nobs[pid] = 0
         self.pt_valid.discard(pid)
 
     def replace_point(self, pid: int, by: int):
@@ -263,6 +403,7 @@ class SlamMap:
         self.pt_found[by] += self.pt_found[pid]
         self.pt_visible[by] += self.pt_visible[pid]
         self.pt_obs[pid] = {}
+        self.pt_nobs[pid] = 0
         self.pt_valid.discard(pid)
         self.pt_replaced[pid] = by
         self.compute_distinctive_descriptor(by)
@@ -287,7 +428,7 @@ class SlamMap:
         D = np.stack(obs)
         dists = hamming_np(D[:, None, :], D[None, :, :])
         medians = np.median(dists, axis=1)
-        self.pt_desc[pid] = D[int(np.argmin(medians))].copy()
+        self.pt_desc[pid] = D[int(np.argmin(medians))]
 
     def update_normal_and_depth(self, pid: int):
         """Reference MapPoint.cpp:341-399."""
@@ -305,7 +446,7 @@ class SlamMap:
         if not normals:
             return
         self.pt_normal[pid] = np.mean(normals, axis=0)
-        ref = self.pt_ref_kf.get(pid)
+        ref = int(self.pt_ref_kf[pid])
         if ref not in self.kf_valid:
             ref = next(iter(obs))
         dist = np.linalg.norm(pos - self.kf_center(ref))
@@ -324,6 +465,7 @@ class SlamMap:
         """Batched ComputeDistinctiveDescriptors over many points."""
         todo, descs = [], []
         for p in pids:
+            p = int(p)
             if p not in self.pt_valid:
                 continue
             obs = [
@@ -331,7 +473,7 @@ class SlamMap:
             ]
             if len(obs) == 1:
                 k, i = obs[0]
-                self.pt_desc[p] = self.kf_frame[k].desc[i].copy()
+                self.pt_desc[p] = self.kf_frame[k].desc[i]
             elif len(obs) > 1:
                 todo.append(p)
                 descs.append(
@@ -365,12 +507,12 @@ class SlamMap:
         med = np.where(col_valid, med, np.inf)
         best = np.argmin(med, axis=1)
         for i, p in enumerate(todo):
-            self.pt_desc[p] = arr[i, best[i]].copy()
+            self.pt_desc[p] = arr[i, best[i]]
 
     def update_normals_batch(self, pids):
         """Batched UpdateNormalAndDepth over many points."""
         rows_p, rows_kf = [], []
-        keep, pos_l, ref_l, lvl_l = [], [], [], []
+        keep, ref_l, lvl_l = [], [], []
         kf_row: Dict[int, int] = {}
         centers: List[np.ndarray] = []
 
@@ -383,6 +525,7 @@ class SlamMap:
             return r
 
         for p in pids:
+            p = int(p)
             if p not in self.pt_valid:
                 continue
             obs = self.pt_obs.get(p)
@@ -393,11 +536,10 @@ class SlamMap:
                 continue
             i = len(keep)
             keep.append(p)
-            pos_l.append(self.pt_pos[p])
             for k in valid_kfs:
                 rows_p.append(i)
                 rows_kf.append(_row(k))
-            ref = self.pt_ref_kf.get(p)
+            ref = int(self.pt_ref_kf[p])
             if ref not in self.kf_valid:
                 ref = next(iter(obs))
             ref_l.append(_row(ref))
@@ -408,7 +550,8 @@ class SlamMap:
         if not keep:
             return
         P = len(keep)
-        pos = np.asarray(pos_l, np.float64)
+        keep_ids = np.asarray(keep)
+        pos = self.pt_pos[keep_ids]
         C = np.asarray(centers, np.float64)
         rp = np.asarray(rows_p)
         rk = np.asarray(rows_kf)
@@ -422,11 +565,11 @@ class SlamMap:
         dist = np.linalg.norm(pos - C[np.asarray(ref_l)], axis=1)
         maxd = dist * self.scale_factors[np.asarray(lvl_l)]
         mind = maxd / self.scale_factors[-1]
-        for i, p in enumerate(keep):
-            if cnt[i] > 0:
-                self.pt_normal[p] = sums[i] / cnt[i]
-                self.pt_max_dist[p] = float(maxd[i])
-                self.pt_min_dist[p] = float(mind[i])
+        has = cnt > 0
+        upd = keep_ids[has]
+        self.pt_normal[upd] = sums[has] / cnt[has, None]
+        self.pt_max_dist[upd] = maxd[has]
+        self.pt_min_dist[upd] = mind[has]
 
     def predict_scale(self, pid: int, dist: float) -> int:
         """Reference MapPoint::PredictScale (MapPoint.cpp:367-399)."""
@@ -448,10 +591,12 @@ class SlamMap:
             self.covis[okf].pop(kf, None)
         for idx, pid in enumerate(self.kf_point[kf]):
             if pid >= 0 and pid in self.pt_valid:
+                pid = int(pid)
                 obs = self.pt_obs[pid]
                 if obs.get(kf) == idx:
                     obs.pop(kf, None)
-                    if self.pt_ref_kf.get(pid) == kf and obs:
+                    self.pt_nobs[pid] -= self._obs_weight(kf, idx)
+                    if self.pt_ref_kf[pid] == kf and obs:
                         self.pt_ref_kf[pid] = next(iter(obs))
                     if len(obs) <= 1:
                         self.remove_point(pid)
@@ -486,21 +631,19 @@ class SlamMap:
     # bulk views for device kernels
     # ------------------------------------------------------------------
 
-    def points_array(self, pids: List[int]):
-        """Assemble dense arrays for a list of point ids."""
-        P = len(pids)
-        pos = np.zeros((P, 3), np.float32)
-        desc = np.zeros((P, 8), np.uint32)
-        normal = np.zeros((P, 3), np.float32)
-        dmin = np.zeros(P, np.float32)
-        dmax = np.zeros(P, np.float32)
-        for i, pid in enumerate(pids):
-            pos[i] = self.pt_pos[pid]
-            desc[i] = self.pt_desc[pid]
-            normal[i] = self.pt_normal[pid]
-            dmin[i] = self.pt_min_dist[pid]
-            dmax[i] = self.pt_max_dist[pid]
-        return pos, desc, normal, dmin, dmax
+    def points_array(self, pids):
+        """Assemble dense arrays for a list/array of point ids (one
+        vectorized gather per field)."""
+        ids = np.asarray(pids, np.int64)
+        return (
+            self.pt_pos[ids].astype(np.float32),
+            self.pt_desc[ids],
+            self.pt_normal[ids].astype(np.float32),
+            self.pt_min_dist[ids].astype(np.float32),
+            self.pt_max_dist[ids].astype(np.float32),
+        )
 
     def clear(self):
+        lock = self.lock  # keep the shared lock identity across resets
         self.__init__(self.n_kp, self.n_levels, self.scale_factor)
+        self.lock = lock

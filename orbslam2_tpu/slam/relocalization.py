@@ -96,9 +96,8 @@ class Relocalizer:
             # EPnP RANSAC over the 2D-3D matches (normalized coordinates)
             N = len(pids)
             pw = np.zeros((N, 3), np.float32)
-            valid = pids >= 0
-            for i in np.nonzero(valid)[0]:
-                pw[i] = self.map.pt_pos[int(pids[i])]
+            valid = (pids >= 0) & self.map.valid_mask(pids)
+            pw[valid] = self.map.pt_pos[pids[valid]]
             self._key, sub = jax.random.split(self._key)
             if self.solver == "mlpnp":
                 bearings = self._mlpnp.bearings_from_pixels(
@@ -159,14 +158,9 @@ class Relocalizer:
         """SearchByBoW(KF, Frame) equivalent (ratio 0.75, rotation check)."""
         kff = self.map.kf_frame[kf]
         kf_pids = self.map.kf_point[kf]
-        has_pt = kf_pids >= 0
+        has_pt = (kf_pids >= 0) & self.map.valid_mask(kf_pids)
         desc = np.zeros((len(kf_pids), 8), np.uint32)
-        for i in np.nonzero(has_pt)[0]:
-            pid = int(kf_pids[i])
-            if pid in self.map.pt_valid:
-                desc[i] = self.map.pt_desc[pid]
-            else:
-                has_pt[i] = False
+        desc[has_pt] = self.map.pt_desc[kf_pids[has_pt]]
         idx, best, keep = jax.device_get(
             self._jit_match_bow(
                 jnp.asarray(desc), jnp.asarray(has_pt), kff.dev.angle,
@@ -185,12 +179,9 @@ class Relocalizer:
     def _optimize(self, frame: FrameHost) -> int:
         N = len(frame.valid)
         pw = np.zeros((N, 3), np.float32)
-        valid = np.zeros(N, bool)
-        for i in np.nonzero(frame.point_ids >= 0)[0]:
-            pid = int(frame.point_ids[i])
-            if pid in self.map.pt_valid:
-                pw[i] = self.map.pt_pos[pid]
-                valid[i] = True
+        pids = frame.point_ids
+        valid = (pids >= 0) & self.map.valid_mask(pids)
+        pw[valid] = self.map.pt_pos[pids[valid]]
         if valid.sum() < 3:
             return 0
         obs = np.concatenate([frame.uv, frame.u_right[:, None]], axis=1).astype(
@@ -213,19 +204,16 @@ class Relocalizer:
         (reference ORBmatcher.cpp:1317-1444) then re-optimize."""
         cam = self.config.camera
         kf_pids = self.map.kf_point[kf]
-        already = set(int(p) for p in frame.point_ids[frame.point_ids >= 0])
-        cand, desc_rows, pos_rows, oct_rows = [], [], [], []
+        already = np.unique(frame.point_ids[frame.point_ids >= 0])
         kff = self.map.kf_frame[kf]
-        for i in np.nonzero(kf_pids >= 0)[0]:
-            pid = int(kf_pids[i])
-            if pid in self.map.pt_valid and pid not in already:
-                cand.append(pid)
-                desc_rows.append(self.map.pt_desc[pid])
-                pos_rows.append(self.map.pt_pos[pid])
-                oct_rows.append(kff.octave[i])
-        if not cand:
+        sel = (kf_pids >= 0) & self.map.valid_mask(kf_pids)
+        sel &= ~np.isin(kf_pids, already)
+        cand = kf_pids[sel]
+        oct_rows = kff.octave[sel]
+        if cand.size == 0:
             return self._optimize(frame)
-        pos = np.stack(pos_rows).astype(np.float64)
+        desc_rows = self.map.pt_desc[cand]
+        pos = self.map.pt_pos[cand].astype(np.float64)
         Rcw = frame.Tcw[:3, :3].astype(np.float64)
         tcw = frame.Tcw[:3, 3].astype(np.float64)
         pc = pos @ Rcw.T + tcw

@@ -42,6 +42,7 @@ class System:
         use_viewer: bool = False,
         enable_loop_closing: bool = True,
         deferred_mapping: bool = False,
+        threaded: bool = False,  # mapping/loop closing on a worker thread
         mesh=None,  # jax.sharding.Mesh: shard whole-map passes (GBA, pose graph)
     ):
         self.sensor = sensor
@@ -96,6 +97,15 @@ class System:
         self.local_mapper.timers = self.timers
         if self.loop_closer is not None:
             self.loop_closer.timers = self.timers
+
+        # threaded pipeline: mapping + loop closing drain on a worker
+        # thread (reference System.cpp:63-77 thread spawns); the tracker
+        # only ever blocks on the map lock, never on a BA solve
+        self.worker = None
+        if threaded:
+            from .pipeline import MappingWorker
+
+            self.worker = MappingWorker(self.local_mapper)
         self.viewer = None
         if use_viewer:
             from .viewer import Viewer
@@ -138,10 +148,33 @@ class System:
         if self.relocalizer is not None:
             self.relocalizer.database.clear()
 
-    def shutdown(self) -> str:
-        """Returns the timing report (reference prints it, System.cpp:244)."""
+    def shutdown(self, measure_frontend_split: bool = False) -> str:
+        """Drain the worker (reference Shutdown barrier, System.cpp:
+        227-242) and return the timing report (System.cpp:244).
+
+        With measure_frontend_split=True the fused "ORB extraction +
+        stereo matching" stage is additionally reported as the
+        reference's two separate stages (Frame.cpp:112-132) by measuring
+        the extraction-only program against the fused one on the last
+        frame's images — the report then carries all 20 reference stage
+        names."""
+        if self.worker is not None:
+            self.worker.finish()
+            self.worker = None
+        if measure_frontend_split and self.tracker.last_images is not None:
+            imL, imR = self.tracker.last_images
+            t_orb, t_full = self.frontend.measure_stage_split(imL, imR)
+            for a, b in zip(t_orb, t_full):
+                self.timers.add("ORB extraction", a * 1e6)
+                self.timers.add("Stereo matching", max(b - a, 0.0) * 1e6)
         report = self.timers.report()
         return report
+
+    def wait_idle(self, timeout: float = 120.0):
+        """Block until queued mapping/loop-closing work is done (no-op in
+        the host-sequenced modes)."""
+        if self.worker is not None:
+            self.worker.wait_idle(timeout)
 
     # ------------------------------------------------------------------
 

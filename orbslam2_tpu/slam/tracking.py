@@ -66,6 +66,7 @@ class Tracker:
         self.only_tracking = False
         self.relocalizer = None  # wired by System once place recognition exists
         self.timers = None  # StageTimers, wired by System
+        self.last_images = None  # last stereo pair (for shutdown profiling)
 
         N = config.orb.n_features
         self._N = N
@@ -176,11 +177,15 @@ class Tracker:
         # ORB extraction and stereo matching are ONE fused device program
         # (the reference times them separately, Frame.cpp:112-132; here the
         # fusion is the point — the span covers both)
+        self.last_images = (im_left, im_right)
         with self._span("ORB extraction + stereo matching"):
             feats = self.frontend.process(im_left, im_right)
         frame = FrameHost(feats, timestamp, self.frame_id)
         self.frame_id += 1
-        self._track(frame)
+        # the map-update lock is held for the frame's map admin (reference
+        # Tracking.cpp:260); the frontend wait above runs outside it
+        with self.map.lock:
+            self._track(frame)
         return frame.Tcw if self.state == TrackingState.OK else None
 
     def track_mono(self, image, timestamp: float) -> Optional[np.ndarray]:
@@ -188,7 +193,8 @@ class Tracker:
         feats = self.frontend.process_mono(image)
         frame = FrameHost(feats, timestamp, self.frame_id)
         self.frame_id += 1
-        self._track(frame)
+        with self.map.lock:
+            self._track(frame)
         return frame.Tcw if self.state == TrackingState.OK else None
 
     def _track(self, frame: FrameHost):
@@ -270,7 +276,7 @@ class Tracker:
         self.ref_kf = kf
         self.last_kf_id = frame.frame_id
         self.local_keyframes = [kf]
-        self.local_points = [p for p in self.map.pt_valid]
+        self.local_points = self.map.pt_ids()
         if self.local_mapper is not None:
             self.local_mapper.insert_keyframe(kf)
         self.state = TrackingState.OK
@@ -401,6 +407,9 @@ class Tracker:
 
     def _check_replaced_in_last_frame(self):
         lf = self.last_frame
+        # fast path: nothing was replaced since the last frame
+        if not self.map.pt_replaced:
+            return
         for i in np.nonzero(lf.point_ids >= 0)[0]:
             pid = int(lf.point_ids[i])
             r = self.map.resolve_replaced(pid)
@@ -413,14 +422,11 @@ class Tracker:
         """Run device pose optimization on the frame's current matches."""
         N = self._N
         pw = np.zeros((N, 3), np.float32)
-        valid = np.zeros(N, bool)
-        for i in np.nonzero(frame.point_ids >= 0)[0]:
-            pid = int(frame.point_ids[i])
-            if pid in self.map.pt_valid:
-                pw[i] = self.map.pt_pos[pid]
-                valid[i] = True
-            else:
-                frame.point_ids[i] = -1
+        pids = frame.point_ids
+        has = pids >= 0
+        valid = has & self.map.valid_mask(pids)
+        frame.point_ids[has & ~valid] = -1
+        pw[valid] = self.map.pt_pos[pids[valid]]
         for i, pos in frame.temp_points.items():
             if not valid[i]:
                 pw[i] = pos
@@ -446,15 +452,12 @@ class Tracker:
 
     def _discard_outliers(self, frame: FrameHost) -> int:
         """Post-optimization bookkeeping shared by both tracking modes."""
-        n_map = 0
-        for i in np.nonzero(frame.point_ids >= 0)[0]:
-            pid = int(frame.point_ids[i])
-            if frame.outlier[i]:
-                frame.point_ids[i] = -1
-                frame.outlier[i] = False
-            elif self.map.n_observations(pid) > 0:
-                n_map += 1
-        return n_map
+        has = frame.point_ids >= 0
+        bad = has & frame.outlier
+        frame.point_ids[bad] = -1
+        frame.outlier[bad] = False
+        good = has & ~bad
+        return int((self.map.pt_nobs[frame.point_ids[good]] > 0).sum())
 
     def _track_with_motion_model(self, frame: FrameHost) -> bool:
         """Reference Tracking::TrackWithMotionModel (Tracking.cpp:714-772).
@@ -469,18 +472,14 @@ class Tracker:
         th = 15.0 if self.config.monocular else 7.0  # reference Tracking.cpp:726-730
 
         # last-frame source table: world position + distinctive descriptor
+        # (vectorized gathers from the dense point arrays)
         pids = lf.point_ids.copy()
-        has_pt = pids >= 0
+        has_pt = (pids >= 0) & self.map.valid_mask(pids)
         pw = np.zeros((N, 3), np.float64)
         desc = np.zeros((N, 8), np.uint32)
         is_temp = np.zeros(N, bool)
-        for i in np.nonzero(has_pt)[0]:
-            pid = int(pids[i])
-            if pid in self.map.pt_valid:
-                pw[i] = self.map.pt_pos[pid]
-                desc[i] = self.map.pt_desc[pid]
-            else:
-                has_pt[i] = False
+        pw[has_pt] = self.map.pt_pos[pids[has_pt]]
+        desc[has_pt] = self.map.pt_desc[pids[has_pt]]
         if self.only_tracking:
             # visual-odometry points: unproject close stereo features of the
             # last frame that have no map point (reference UpdateLastFrame,
@@ -539,14 +538,9 @@ class Tracker:
             return False
         kff = self.map.kf_frame[kf]
         kf_pids = self.map.kf_point[kf]
-        has_pt = kf_pids >= 0
+        has_pt = (kf_pids >= 0) & self.map.valid_mask(kf_pids)
         desc = np.zeros((self._N, 8), np.uint32)
-        for i in np.nonzero(has_pt)[0]:
-            pid = int(kf_pids[i])
-            if pid in self.map.pt_valid:
-                desc[i] = self.map.pt_desc[pid]
-            else:
-                has_pt[i] = False
+        desc[has_pt] = self.map.pt_desc[kf_pids[has_pt]]
 
         # BoW-free SearchByBoW equivalent: mutual-ratio Hamming matching
         n = self._match_descriptors(frame, kff, desc, has_pt, kf_pids)
@@ -588,17 +582,15 @@ class Tracker:
         self._update_local_map(frame)
         self._search_local_points(frame)
 
-        self.n_inliers = 0
-        for i in np.nonzero(frame.point_ids >= 0)[0]:
-            pid = int(frame.point_ids[i])
-            if not frame.outlier[i]:
-                self.map.pt_found[pid] = self.map.pt_found.get(pid, 0) + 1
-                if self.map.n_observations(pid) > 0:
-                    self.n_inliers += 1
-            else:
-                # stereo mode drops outliers immediately (Tracking.cpp:806)
-                frame.point_ids[i] = -1
-                frame.outlier[i] = False
+        has = frame.point_ids >= 0
+        good = has & ~frame.outlier
+        good_ids = frame.point_ids[good]
+        self.map.pt_found[good_ids] += 1
+        self.n_inliers = int((self.map.pt_nobs[good_ids] > 0).sum())
+        # stereo mode drops outliers immediately (Tracking.cpp:806)
+        bad = has & frame.outlier
+        frame.point_ids[bad] = -1
+        frame.outlier[bad] = False
 
         if (
             frame.frame_id < self.last_reloc_frame_id + self.max_frames
@@ -610,14 +602,13 @@ class Tracker:
     def _update_local_map(self, frame: FrameHost):
         """UpdateLocalKeyFrames + UpdateLocalPoints (Tracking.cpp:1041-1137)."""
         votes = {}
-        for i in np.nonzero(frame.point_ids >= 0)[0]:
-            pid = int(frame.point_ids[i])
-            if pid in self.map.pt_valid:
-                for kf in self.map.pt_obs[pid]:
-                    if kf in self.map.kf_valid:
-                        votes[kf] = votes.get(kf, 0) + 1
-            else:
-                frame.point_ids[i] = -1
+        has = frame.point_ids >= 0
+        ok = has & self.map.valid_mask(frame.point_ids)
+        frame.point_ids[has & ~ok] = -1
+        for pid in frame.point_ids[ok]:
+            for kf in self.map.pt_obs[int(pid)]:
+                if kf in self.map.kf_valid:
+                    votes[kf] = votes.get(kf, 0) + 1
         if not votes:
             return
         local = list(votes)
@@ -639,13 +630,10 @@ class Tracker:
         self.local_keyframes = local[:80]
         self.ref_kf = max(votes, key=votes.get)
 
-        pts = []
-        seen = set()
-        for kf in self.local_keyframes:
-            for pid in self.map.kf_point[kf]:
-                if pid >= 0 and pid not in seen and pid in self.map.pt_valid:
-                    seen.add(pid)
-                    pts.append(int(pid))
+        all_pids = np.unique(
+            np.concatenate([self.map.kf_point[kf] for kf in self.local_keyframes])
+        )
+        pts = all_pids[self.map.valid_mask(all_pids)]
         self.local_points = pts
         # reference Map::SetReferenceMapPoints (Tracking.cpp:1063): the
         # local points are what MapDrawer highlights in red
@@ -656,14 +644,11 @@ class Tracker:
         (map points + localization-mode VO points)."""
         N = self._N
         pw = np.zeros((N, 3), np.float32)
-        valid = np.zeros(N, bool)
-        for i in np.nonzero(frame.point_ids >= 0)[0]:
-            pid = int(frame.point_ids[i])
-            if pid in self.map.pt_valid:
-                pw[i] = self.map.pt_pos[pid]
-                valid[i] = True
-            else:
-                frame.point_ids[i] = -1
+        pids = frame.point_ids
+        has = pids >= 0
+        valid = has & self.map.valid_mask(pids)
+        frame.point_ids[has & ~valid] = -1
+        pw[valid] = self.map.pt_pos[pids[valid]]
         for i, pos in frame.temp_points.items():
             if not valid[i]:
                 pw[i] = pos
@@ -674,11 +659,11 @@ class Tracker:
         """SearchLocalPoints (Tracking.cpp:979-1038) + PoseOptimization as
         one fused dispatch: frustum check on host, projection matching of
         unmatched local points + pose refinement on device."""
-        matched = set(int(p) for p in frame.point_ids[frame.point_ids >= 0])
-        for pid in matched:
-            self.map.pt_visible[pid] = self.map.pt_visible.get(pid, 0) + 1
-        cand = [p for p in self.local_points if p not in matched]
-        if not cand:
+        matched_ids = np.unique(frame.point_ids[frame.point_ids >= 0])
+        self.map.pt_visible[matched_ids] += 1
+        lp = np.asarray(self.local_points, np.int64)
+        cand = lp[~np.isin(lp, matched_ids)]
+        if cand.size == 0:
             self._pose_optimize(frame)
             return
         pos, desc, normal, dmin, dmax = self.map.points_array(cand)
@@ -701,8 +686,7 @@ class Tracker:
             & (dist >= 0.8 * dmin) & (dist <= 1.2 * dmax)
             & (viewcos > 0.5)
         )
-        for j in np.nonzero(visible)[0]:
-            self.map.pt_visible[cand[j]] = self.map.pt_visible.get(cand[j], 0) + 1
+        self.map.pt_visible[cand[visible]] += 1
         if not visible.any():
             self._pose_optimize(frame)
             return
@@ -738,11 +722,8 @@ class Tracker:
                 jnp.asarray(frame.Tcw), th,
             )
         )
-        new_hit = np.zeros(self._N, bool)
-        for i in np.nonzero(pfk >= 0)[0]:
-            if frame.point_ids[i] < 0 and pfk[i] < len(cand):
-                frame.point_ids[i] = cand[int(pfk[i])]
-                new_hit[i] = True
+        new_hit = (pfk >= 0) & (frame.point_ids < 0) & (pfk < len(cand))
+        frame.point_ids[new_hit] = cand[pfk[new_hit]]
         all_valid = valid_exist | new_hit
         if int(all_valid.sum()) >= 3:
             frame.Tcw = res.Tcw
@@ -800,12 +781,9 @@ class Tracker:
     def _tracked_in_keyframe(self, kf: Optional[int], min_obs: int) -> int:
         if kf is None or kf not in self.map.kf_valid:
             return 0
-        n = 0
-        for pid in self.map.kf_point[kf]:
-            if pid >= 0 and pid in self.map.pt_valid:
-                if self.map.n_observations(int(pid)) >= min_obs:
-                    n += 1
-        return n
+        pids = self.map.kf_point[kf]
+        ok = self.map.valid_mask(pids)
+        return int((self.map.pt_nobs[pids[ok]] >= min_obs).sum())
 
     def _create_new_keyframe(self, frame: FrameHost):
         """Reference Tracking::CreateNewKeyFrame (Tracking.cpp:899-977)."""
@@ -832,14 +810,10 @@ class Tracker:
         hits = np.nonzero(stop)[0]
         if hits.size:
             idxs = idxs[: hits[0] + 1]
-        create = []
-        for i in idxs:
-            i = int(i)
-            pid = int(frame.point_ids[i])
-            if pid < 0 or pid not in self.map.pt_valid or (
-                self.map.n_observations(pid) < 1
-            ):
-                create.append(i)
+        cur = frame.point_ids[idxs]
+        keep = (cur >= 0) & self.map.valid_mask(cur)
+        keep[keep] = self.map.pt_nobs[cur[keep]] >= 1
+        create = idxs[~keep]
         pids = self.map.add_stereo_points_batch(
             frame, kf, np.asarray(create, np.int64), self.config.camera
         )

@@ -139,13 +139,14 @@ class MapDrawer:
     def draw_map_points(self, ax):
         """DrawMapPoints: all points gray, reference (local) points red."""
         m = self.system.map
-        if not m.pt_valid:
+        if not len(m.pt_valid):
             return
-        P = np.stack([m.pt_pos[p] for p in m.pt_valid])
+        P = m.pt_pos[m.pt_ids()]
         ax.scatter(P[:, 0], P[:, 2], s=1, c="#999999", label="map points")
         ref = getattr(m, "reference_points", None)
-        if ref:
-            R = np.stack([m.pt_pos[p] for p in ref if p in m.pt_pos])
+        if ref is not None and len(ref):
+            ids = np.asarray(ref, np.int64)
+            R = m.pt_pos[ids[m.valid_mask(ids)]]
             if len(R):
                 ax.scatter(R[:, 0], R[:, 2], s=1.5, c="#cc2222")
 

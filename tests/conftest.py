@@ -19,6 +19,12 @@ import jax  # noqa: E402
 # The environment's JAX plugin overrides JAX_PLATFORMS at import time, so the
 # env var alone does not stick — force CPU through the config API instead.
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeat suite runs skip XLA compiles
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"),
+)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

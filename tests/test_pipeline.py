@@ -1,0 +1,132 @@
+"""Threaded pipeline: mapping/loop closing overlap tracking.
+
+The reference runs LocalMapping/LoopClosing/GBA on their own threads
+(src/System.cpp:63-77, LoopClosing.cpp:566-570) so a loop-closure event
+never charges essential-graph + global-BA wall time to a single frame.
+These tests drive the threaded System through a full circuit with a loop
+closure and assert (a) tracking never degrades, (b) frames keep flowing
+DURING the loop correction, and (c) per-frame latency stays bounded.
+
+Also covers the interruptible bundle adjustment (reference mbAbortBA,
+LocalMapping.cpp:109-114): aborting mid-solve returns the partial result.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from orbslam2_tpu.config import CameraConfig, OrbConfig, SlamConfig
+from orbslam2_tpu.datasets.synthetic import SyntheticWorld
+from orbslam2_tpu.evaluation.ate import ate_rmse
+from orbslam2_tpu.slam.system import System
+from orbslam2_tpu.slam.tracking import TrackingState
+from orbslam2_tpu.vocab import train
+
+
+@pytest.fixture(scope="module")
+def threaded_run():
+    world = SyntheticWorld(
+        n_points=2000, seed=21, baseline=0.2, vertical_extent=6.0,
+        cylinder_radius=11.0,
+    )
+    cfg = SlamConfig(
+        camera=CameraConfig(
+            fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+            bf=world.bf, width=world.width, height=world.height, fps=20.0,
+        ),
+        orb=OrbConfig(n_features=1200),
+    )
+
+    # pretrain a vocabulary from sample views (as in test_loop_closing)
+    from orbslam2_tpu.slam.frontend import Frontend
+
+    frontend = Frontend(cfg)
+    descs, docs = [], []
+    for d, T in enumerate(world.trajectory_circuit(8)):
+        imL, _ = world.render_stereo(T)
+        f = frontend.process(imL, imL)
+        v = np.asarray(f.valid)
+        dd = np.asarray(f.desc)[v][:400]
+        descs.append(np.ascontiguousarray(dd).view(np.uint8))
+        docs.append(np.full(len(dd), d))
+    voc = train.train_vocabulary(
+        np.concatenate(descs), k=8, depth=3, doc_ids=np.concatenate(docs)
+    )
+
+    sys_ = System(voc, cfg, threaded=True)
+    n_frames = 150
+    circuit = world.trajectory_circuit(n_frames)
+    frames = [world.render_stereo(T) for T in circuit]
+    poses_gt, est, lat, stamps = [], [], [], []
+
+    def feed(i):
+        imL, imR = frames[i % n_frames]
+        poses_gt.append(circuit[i % n_frames])
+        t0 = time.monotonic()
+        est.append(sys_.track_stereo(imL, imR, i / 20.0))
+        t1 = time.monotonic()
+        lat.append(t1 - t0)
+        stamps.append((t0, t1))
+
+    for i in range(n_frames):
+        feed(i)
+    # keep the camera moving around the (closed) circuit until the worker
+    # detects + corrects the loop — frames must flow DURING the correction
+    closer = sys_.loop_closer
+    i = n_frames
+    while closer.n_loops_closed == 0 and i < n_frames + 300:
+        feed(i)
+        i += 1
+    report = sys_.shutdown()
+    return sys_, closer, poses_gt, est, np.asarray(lat), stamps, report
+
+
+class TestThreadedPipeline:
+    def test_tracking_never_degrades(self, threaded_run):
+        sys_, _, _, est, _, _, _ = threaded_run
+        assert sys_.tracker.state == TrackingState.OK
+        assert sum(e is not None for e in est) == len(est)
+
+    def test_loop_closed(self, threaded_run):
+        _, closer, _, _, _, _, _ = threaded_run
+        assert closer.n_loops_closed >= 1
+
+    def test_frames_flow_during_correction(self, threaded_run):
+        """The loop correction (Sim3 propagation + essential graph + GBA)
+        must overlap tracking: at least one frame is fully processed
+        inside a correction window."""
+        _, closer, _, _, _, stamps, _ = threaded_run
+        assert closer.correction_windows, "no correction window recorded"
+        overlapped = 0
+        for (w0, w1) in closer.correction_windows:
+            for (t0, t1) in stamps:
+                if t0 >= w0 and t1 <= w1:
+                    overlapped += 1
+        assert overlapped >= 1, (
+            f"no frame completed during the {closer.correction_windows} "
+            "correction window(s) — loop closure stalled the tracker"
+        )
+
+    def test_frame_latency_bounded(self, threaded_run):
+        """No frame pays the essential-graph + GBA bill. The two worst
+        frames are excluded (first-run XLA compiles land somewhere); the
+        rest must stay within a small multiple of the median."""
+        _, _, _, _, lat, _, _ = threaded_run
+        steady = np.sort(lat[20:])[:-2]  # drop warmup + 2 compile spikes
+        med = float(np.median(steady))
+        assert float(steady.max()) < max(4.0 * med, 1.0), (
+            f"max steady latency {steady.max():.2f}s vs median {med:.2f}s"
+        )
+
+    def test_ate_after_loop(self, threaded_run):
+        _, _, poses_gt, est, _, _, _ = threaded_run
+        pairs = [(g, e) for g, e in zip(poses_gt, est) if e is not None]
+        gt_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for T, _ in pairs])
+        est_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for _, T in pairs])
+        rmse = ate_rmse(est_xyz, gt_xyz)
+        assert rmse < 0.35, f"ATE RMSE {rmse:.3f} m"
+
+    def test_timing_report(self, threaded_run):
+        *_, report = threaded_run
+        assert "Total tracking" in report

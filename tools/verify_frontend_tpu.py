@@ -10,13 +10,19 @@ Evidence gathered:
   3. Edge probes: all-flat image (no corners -> no valid keypoints),
      tiny 64x64 image, all-invalid stereo matching input.
   4. CPU-vs-TPU descriptor agreement on the same frame (same code path,
-     different backends/lowerings).
+     different backends/lowerings) — guards the Pallas/Mosaic patch path
+     (ops/patches.py) against silent miscompiles.
+
+Writes the measurements to PARITY_TPU.json at the repo root so every
+round records a frontend-parity artifact next to the benchmark.
 """
 
+import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def main():
@@ -175,7 +181,25 @@ def main():
           f"median Hamming {np.median(ham) if same_pos.sum() else 'n/a'}")
     assert same_pos.sum() > 500 and np.median(ham) <= 8
 
-    print("PASS")
+    # record the round artifact
+    artifact = {
+        "device": jax.devices()[0].platform,
+        "n_keypoints": n_kp,
+        "n_stereo_matches": n_match,
+        "median_disparity_err_px": round(float(np.median(disp_err)), 4),
+        "p90_disparity_err_px": round(float(np.percentile(disp_err, 90)), 4),
+        "rot90_desc_matches": int(good.sum()),
+        "rot90_position_consistency": round(float(frac_consistent), 4),
+        "cpu_tpu_colocated_kps": int(same_pos.sum()),
+        "cpu_tpu_median_hamming": float(np.median(ham)),
+        "cpu_tpu_exact_bit_match_frac": round(
+            float((ham == 0).mean()), 4
+        ),
+        "pass": True,
+    }
+    with open(os.path.join(REPO, "PARITY_TPU.json"), "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print("PASS — artifact written to PARITY_TPU.json")
 
 
 if __name__ == "__main__":
