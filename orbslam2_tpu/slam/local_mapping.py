@@ -60,9 +60,15 @@ class LocalMapper:
         sig2 = jnp.asarray(frontend.level_sigma2, jnp.float32)
         inv_sig2 = frontend.inv_level_sigma2
 
-        self._jit_epipolar = jax.jit(
-            lambda uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep: matchers.epipolar_match(
-                uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep, sf, sig2
+        # all covisible neighbors matched in ONE device program (the
+        # reference walks neighbors sequentially, LocalMapping.cpp:202;
+        # one vmapped launch replaces ~10 round trips per keyframe)
+        self._jit_epipolar_batch = jax.jit(
+            jax.vmap(
+                lambda uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep: matchers.epipolar_match(
+                    uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep, sf, sig2
+                )[0],
+                in_axes=(None, None, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
             )
         )
         self._jit_fuse = jax.jit(
@@ -86,7 +92,16 @@ class LocalMapper:
         return len(self._queue)
 
     def request_stop(self):
+        """Reference LocalMapping::RequestStop (LocalMapping.cpp:556-561):
+        also aborts a running BA so the thread parks promptly."""
         self._stopped = True
+        self._abort_ba = True
+
+    def wait_stopped(self, timeout: float = 60.0):
+        """Spin until no keyframe is mid-processing (reference CorrectLoop's
+        isStopped() wait, LoopClosing.cpp:412-415). No-op when unthreaded."""
+        if self.worker is not None:
+            self.worker.wait_parked(timeout)
 
     def release(self):
         self._stopped = False
@@ -199,6 +214,10 @@ class LocalMapper:
         neighbors = self.map.covisible_keyframes(
             kf1, 20 if self.config.monocular else 10
         )
+        # gather per-neighbor inputs; all neighbors are matched in ONE
+        # vmapped device program (vs one round trip each in the sequential
+        # reference walk, LocalMapping.cpp:202-231)
+        active = []
         for kf2 in neighbors:
             O2 = self.map.kf_center(kf2)
             baseline = np.linalg.norm(O2 - O1)
@@ -222,19 +241,46 @@ class LocalMapper:
                 [c.fx * C2[0] / C2[2] + c.cx, c.fy * C2[1] / C2[2] + c.cy],
                 np.float32,
             )
-            m12, _ = self._jit_epipolar(
+            active.append((kf2, T2, O2, f2, free2, stereo2, F12, ep))
+        if not active:
+            return
+        # pad the neighbor axis to a power-of-two bucket to bound recompiles;
+        # padding rows reuse the first neighbor's features with free2=False
+        K = 1 << int(np.ceil(np.log2(len(active))))
+        uv2s, o2s, d2s, fr2s, a2s, st2s, Fs, eps = ([] for _ in range(8))
+        for i in range(K):
+            kf2, T2, O2, f2, fr, st, F12, ep = (
+                active[i] if i < len(active) else active[0]
+            )
+            uv2s.append(f2.dev.uv)
+            o2s.append(f2.dev.octave)
+            d2s.append(f2.dev.desc)
+            fr2s.append(jnp.asarray(fr if i < len(active) else np.zeros_like(fr)))
+            a2s.append(f2.dev.angle)
+            st2s.append(jnp.asarray(st))
+            Fs.append(jnp.asarray(F12))
+            eps.append(jnp.asarray(ep))
+        m12_all = np.asarray(
+            self._jit_epipolar_batch(
                 f1.dev.uv, f1.dev.desc, jnp.asarray(free1),
                 f1.dev.angle, jnp.asarray(stereo1),
-                f2.dev.uv, f2.dev.octave, f2.dev.desc,
-                jnp.asarray(free2), f2.dev.angle, jnp.asarray(stereo2),
-                jnp.asarray(F12), jnp.asarray(ep),
+                jnp.stack(uv2s), jnp.stack(o2s), jnp.stack(d2s),
+                jnp.stack(fr2s), jnp.stack(a2s), jnp.stack(st2s),
+                jnp.stack(Fs), jnp.stack(eps),
             )
-            m12 = np.asarray(m12)
-            pairs = [(i, int(m12[i])) for i in np.nonzero(m12 >= 0)[0]]
+        )
+        for j, (kf2, T2, O2, f2, free2, stereo2, F12, ep) in enumerate(active):
+            m12 = m12_all[j]
+            # a kp1 claimed by an earlier neighbor's triangulation is
+            # skipped (the sequential reference excluded it from matching)
+            still_free = self.map.kf_point[kf1] < 0
+            pairs = [
+                (i, int(m12[i]))
+                for i in np.nonzero((m12 >= 0) & still_free)[0]
+            ]
             created = self._triangulate_pairs(
                 kf1, kf2, pairs, T1, T2, O1, O2, ratio_factor
             )
-            free1 = f1.valid & (self.map.kf_point[kf1] < 0)
 
     def _triangulate_pairs(self, kf1, kf2, pairs, T1, T2, O1, O2, ratio_factor):
         """Triangulation + acceptance gates (reference LocalMapping.cpp:274-407),
@@ -502,7 +548,9 @@ class LocalMapper:
         # mbAbortBA, LocalMapping.cpp:109-114) is honored between LM
         # iterations; on abort the partial estimate is still written back
         res = ba.ba_solve_pm_interruptible(
-            prob, self.cam, should_abort=lambda: self._abort_ba
+            prob, self.cam, should_abort=lambda: self._abort_ba,
+            sync_every=1,  # minimal abort latency: the tracker's KF-insert
+            # path (InterruptBA) must preempt within one LM iteration
         )
         with self.lock:
             apply_pm_result(self.map, res, meta)

@@ -68,6 +68,10 @@ class LoopCloser:
         #: lets tests/tools verify tracking overlapped the correction
         self.correction_windows: List[Tuple[float, float]] = []
         self.timers = None  # StageTimers, wired by System
+        #: callback(T_old, T_new) — fired under the map lock after each
+        #: write-back that moves the current region's poses, so the tracker
+        #: can re-anchor its motion-model state (Tracker.apply_pose_jump)
+        self.on_pose_jump = None
         self._key = jax.random.PRNGKey(7)
 
         self._jit_ransac = jax.jit(
@@ -105,8 +109,11 @@ class LoopCloser:
             if detected:
                 # reference sim3_detection_time spans the whole ComputeSim3
                 # (LoopClosing.cpp:55-59); sim3_computation_time spans the
-                # solver iterations inside it (:285-288)
-                with self.lock, self._span("Sim3 detection"):
+                # solver iterations inside it (:285-288). _compute_sim3
+                # takes the map lock around its host assembly sections only
+                # — the Sim3 RANSAC/LM device solves run unlocked so the
+                # tracker's frame latency is never charged for them
+                with self._span("Sim3 detection"):
                     matched = self._compute_sim3(kf)
                 if matched:
                     self._correct_loop(kf)
@@ -182,18 +189,28 @@ class LoopCloser:
         return out
 
     def _compute_sim3(self, kf: int) -> bool:
+        for cand in self._candidates:
+            if self._try_sim3_candidate(kf, cand):
+                return True
+        return False
+
+    def _try_sim3_candidate(self, kf: int, cand: int) -> bool:
+        """One candidate of the reference's ComputeSim3 loop (LoopClosing.
+        cpp:218-385). Host map reads hold the map lock; the Sim3 RANSAC
+        and LM refinement device solves run unlocked (the tracker keeps
+        framing)."""
         cam = self.config.camera
         sigma2 = self.frontend.level_sigma2
-        f1 = self.map.kf_frame[kf]
-        T1 = self.map.kf_pose[kf].astype(np.float64)
-        p1 = self.map.kf_point[kf]
 
-        for cand in self._candidates:
-            if cand not in self.map.kf_valid:
-                continue
+        with self.lock:
+            if cand not in self.map.kf_valid or kf not in self.map.kf_valid:
+                return False
+            f1 = self.map.kf_frame[kf]
+            T1 = self.map.kf_pose[kf].astype(np.float64)
+            p1 = self.map.kf_point[kf]
             matches = self._bow_match_points(kf, cand)
             if len(matches) < 20:
-                continue
+                return False
             idxs = sorted(matches)
             N = len(idxs)
             X1 = np.zeros((N, 3), np.float32)
@@ -204,7 +221,6 @@ class LoopCloser:
             me2 = np.zeros(N, np.float32)
             T2 = self.map.kf_pose[cand].astype(np.float64)
             f2 = self.map.kf_frame[cand]
-            obs2 = self.map.kf_point[cand]
             ok_rows = []
             for r, i in enumerate(idxs):
                 pid1 = int(p1[i])
@@ -226,89 +242,90 @@ class LoopCloser:
             valid = np.zeros(N, bool)
             valid[ok_rows] = True
             if valid.sum() < 20:
-                continue
+                return False
 
-            self._key, sub = jax.random.split(self._key)
-            with self._span("Sim3 computation"):
-                res = self._jit_ransac(
-                    sub, jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1),
-                    jnp.asarray(uv2), jnp.asarray(me1), jnp.asarray(me2),
-                    jnp.asarray(valid), self.frontend.camera,
-                    fix_scale=self.fix_scale,
-                )
-                n_inl_ransac = int(res.n_inliers)
-            if n_inl_ransac < 20:
-                continue
+        self._key, sub = jax.random.split(self._key)
+        with self._span("Sim3 computation"):
+            res = self._jit_ransac(
+                sub, jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1),
+                jnp.asarray(uv2), jnp.asarray(me1), jnp.asarray(me2),
+                jnp.asarray(valid), self.frontend.camera,
+                fix_scale=self.fix_scale,
+            )
+            n_inl_ransac = int(res.n_inliers)
+        if n_inl_ransac < 20:
+            return False
 
             # guided Sim3 matching (reference SearchBySim3, ORBmatcher.cpp:
             # 948-1171): project each keyframe's points into the other under
             # the RANSAC Sim3, keep mutually-agreeing new pairs, and extend
             # the correspondence set before the refinement.
+        with self.lock:
             extra = self._search_by_sim3(kf, cand, res.S12)
-            if extra:
-                add_rows = []
-                for i1, pid2 in extra.items():
-                    if i1 in matches or pid2 not in self.map.pt_valid:
-                        continue
-                    pid1 = int(p1[i1])
-                    if pid1 < 0 or pid1 not in self.map.pt_valid:
-                        continue
-                    i2 = self.map.pt_obs[pid2].get(cand)
-                    if i2 is None:
-                        continue
-                    w1 = self.map.pt_pos[pid1]
-                    w2 = self.map.pt_pos[pid2]
-                    add_rows.append((
-                        T1[:3, :3] @ w1 + T1[:3, 3], T2[:3, :3] @ w2 + T2[:3, 3],
-                        f1.uv[i1], f2.uv[i2],
-                        9.21 * sigma2[f1.octave[i1]], 9.21 * sigma2[f2.octave[i2]],
-                    ))
-                if add_rows:
-                    # pad the extension to a power-of-two bucket so the
-                    # jitted Sim3 refinement sees few distinct shapes
-                    n_add = len(add_rows)
-                    B = 1 << int(np.ceil(np.log2(max(n_add, 64))))
-                    def bucket(rows, width=None):
-                        a = np.stack(rows).astype(np.float32) if width else np.array(rows, np.float32)
-                        out = np.zeros((B,) + a.shape[1:], np.float32)
-                        out[:n_add] = a
-                        return out
-                    X1 = np.concatenate([X1, bucket([r[0] for r in add_rows], 3)])
-                    X2 = np.concatenate([X2, bucket([r[1] for r in add_rows], 3)])
-                    uv1 = np.concatenate([uv1, bucket([r[2] for r in add_rows], 2)])
-                    uv2 = np.concatenate([uv2, bucket([r[3] for r in add_rows], 2)])
-                    me1 = np.concatenate([me1, bucket([r[4] for r in add_rows])])
-                    me2 = np.concatenate([me2, bucket([r[5] for r in add_rows])])
-                    ext_valid = np.zeros(B, bool)
-                    ext_valid[:n_add] = True
-                    valid = np.concatenate([valid, ext_valid])
-                    inl_pad = np.concatenate([np.asarray(res.inliers), ext_valid])
-                else:
-                    inl_pad = np.asarray(res.inliers)
-            else:
-                inl_pad = np.asarray(res.inliers)
+            add_rows = []
+            for i1, pid2 in extra.items():
+                if i1 in matches or pid2 not in self.map.pt_valid:
+                    continue
+                pid1 = int(p1[i1])
+                if pid1 < 0 or pid1 not in self.map.pt_valid:
+                    continue
+                i2 = self.map.pt_obs[pid2].get(cand)
+                if i2 is None:
+                    continue
+                w1 = self.map.pt_pos[pid1]
+                w2 = self.map.pt_pos[pid2]
+                add_rows.append((
+                    T1[:3, :3] @ w1 + T1[:3, 3], T2[:3, :3] @ w2 + T2[:3, 3],
+                    f1.uv[i1], f2.uv[i2],
+                    9.21 * sigma2[f1.octave[i1]], 9.21 * sigma2[f2.octave[i2]],
+                ))
+        if add_rows:
+            # pad the extension to a power-of-two bucket so the
+            # jitted Sim3 refinement sees few distinct shapes
+            n_add = len(add_rows)
+            B = 1 << int(np.ceil(np.log2(max(n_add, 64))))
 
-            S12, inl, n_inl = self._jit_opt_sim3(
-                res.S12, jnp.asarray(X1), jnp.asarray(X2),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(
-                    (9.21 / np.where(me1 > 0, me1, 9.21)).astype(np.float32)
-                ),
-                jnp.ones(len(valid), jnp.float32),
-                jnp.asarray(valid & inl_pad),
-                self.frontend.camera,
-                fix_scale=self.fix_scale,
-            )
-            if int(n_inl) < 20:
-                continue
+            def bucket(rows, width=None):
+                a = np.stack(rows).astype(np.float32) if width else np.array(rows, np.float32)
+                out = np.zeros((B,) + a.shape[1:], np.float32)
+                out[:n_add] = a
+                return out
 
-            # Scw = S1,2 ∘ S2,w  (corrected world->current)
-            R2 = jnp.asarray(T2[:3, :3].astype(np.float32))
-            t2 = jnp.asarray(T2[:3, 3].astype(np.float32))
-            S2w = sim3_mod.Sim3(R=R2, t=t2, s=jnp.asarray(1.0, jnp.float32))
-            Scw = sim3_mod.compose(S12, S2w)
+            X1 = np.concatenate([X1, bucket([r[0] for r in add_rows], 3)])
+            X2 = np.concatenate([X2, bucket([r[1] for r in add_rows], 3)])
+            uv1 = np.concatenate([uv1, bucket([r[2] for r in add_rows], 2)])
+            uv2 = np.concatenate([uv2, bucket([r[3] for r in add_rows], 2)])
+            me1 = np.concatenate([me1, bucket([r[4] for r in add_rows])])
+            me2 = np.concatenate([me2, bucket([r[5] for r in add_rows])])
+            ext_valid = np.zeros(B, bool)
+            ext_valid[:n_add] = True
+            valid = np.concatenate([valid, ext_valid])
+            inl_pad = np.concatenate([np.asarray(res.inliers), ext_valid])
+        else:
+            inl_pad = np.asarray(res.inliers)
 
-            # gather loop-region points and verify by projection (>=40)
+        S12, inl, n_inl = self._jit_opt_sim3(
+            res.S12, jnp.asarray(X1), jnp.asarray(X2),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(
+                (9.21 / np.where(me1 > 0, me1, 9.21)).astype(np.float32)
+            ),
+            jnp.ones(len(valid), jnp.float32),
+            jnp.asarray(valid & inl_pad),
+            self.frontend.camera,
+            fix_scale=self.fix_scale,
+        )
+        if int(n_inl) < 20:
+            return False
+
+        # Scw = S1,2 ∘ S2,w  (corrected world->current)
+        R2 = jnp.asarray(T2[:3, :3].astype(np.float32))
+        t2 = jnp.asarray(T2[:3, 3].astype(np.float32))
+        S2w = sim3_mod.Sim3(R=R2, t=t2, s=jnp.asarray(1.0, jnp.float32))
+        Scw = sim3_mod.compose(S12, S2w)
+
+        # gather loop-region points and verify by projection (>=40)
+        with self.lock:
             group = [
                 k
                 for k in [cand] + self.map.covisible_keyframes(cand)
@@ -319,18 +336,18 @@ class LoopCloser:
             )
             loop_pts = [int(p) for p in ids[self.map.valid_mask(ids)]]
             matched = self._search_by_sim3_projection(kf, Scw, loop_pts, th=10.0)
-            total = len(matched)
+        total = len(matched)
+        for i, pid in matches.items():
+            if i not in matched:
+                total += 1
+        if total >= 40:
+            self._matched_kf = cand
+            self._Scw = Scw
+            self._loop_points = loop_pts
+            self._matched_points = dict(matched)
             for i, pid in matches.items():
-                if i not in matched:
-                    total += 1
-            if total >= 40:
-                self._matched_kf = cand
-                self._Scw = Scw
-                self._loop_points = loop_pts
-                self._matched_points = dict(matched)
-                for i, pid in matches.items():
-                    self._matched_points.setdefault(i, pid)
-                return True
+                self._matched_points.setdefault(i, pid)
+            return True
         return False
 
     def _search_by_sim3(self, kf1: int, kf2: int, S12) -> Dict[int, int]:
@@ -455,7 +472,11 @@ class LoopCloser:
         t0 = time.monotonic()
         m = self.map
         if self.local_mapper is not None:
+            # reference RequestStop + isStopped spin-wait (LoopClosing.cpp:
+            # 394-415): no mapping stage may be mid-flight while the
+            # correction rewrites poses/points
             self.local_mapper.request_stop()
+            self.local_mapper.wait_stopped()
         with self.lock:
             pg_args = self._correct_loop_locked(kf)
         with self._span("Essential graph"):
@@ -467,13 +488,16 @@ class LoopCloser:
         if self.local_mapper is not None:
             self.local_mapper.release()
         self.last_loop_kf = kf
-        self.n_loops_closed += 1
         with self.lock:
             m.big_change_idx += 1  # MapChanged() (reference Map.cpp:42-52)
         self.correction_windows.append((t0, time.monotonic()))
+        # incremented LAST: observers polling n_loops_closed (tests, bench)
+        # must see the completed correction window when it flips
+        self.n_loops_closed += 1
 
     def _correct_loop_locked(self, kf: int):
         m = self.map
+        T_cur_old = m.kf_pose[kf].astype(np.float64).copy()
         current_group = [kf] + m.covisible_keyframes(kf)
         R, t, s = _np_sim3(self._Scw)
 
@@ -565,6 +589,8 @@ class LoopCloser:
         # loop edge bookkeeping
         m.loop_edges[kf].add(self._matched_kf)
         m.loop_edges[self._matched_kf].add(kf)
+        if self.on_pose_jump is not None:
+            self.on_pose_jump(T_cur_old, m.kf_pose[kf])
         return corrected, non_corrected, loop_connections
 
     # ------------------------------------------------------------------
@@ -724,12 +750,19 @@ class LoopCloser:
             sn = s_opt[vi].astype(np.float64)
             v = (pc - tn) / sn[:, None]
             m.pt_pos[pids] = np.einsum("nji,nj->ni", Rn, v)  # R^T @ v per row
+            anchor = max((k for k in kfs if k in m.kf_valid), default=None)
+            T_anchor_old = (
+                m.kf_pose[anchor].astype(np.float64).copy()
+                if anchor is not None else None
+            )
             for k, i in index.items():
                 T = np.eye(4, dtype=np.float32)
                 T[:3, :3] = R_opt[i]
                 T[:3, 3] = t_opt[i] / s_opt[i]
                 m.kf_pose[k] = T
             m.update_normals_batch(m.pt_ids())
+            if self.on_pose_jump is not None and anchor is not None:
+                self.on_pose_jump(T_anchor_old, m.kf_pose[anchor])
 
     # ------------------------------------------------------------------
 
@@ -841,3 +874,6 @@ class LoopCloser:
                     + new_Twc[vi][:, :3, 3]
                 )
         m.update_normals_batch(new_pts)
+        anchor = max((k for k in m.kf_valid if k in pre), default=None)
+        if self.on_pose_jump is not None and anchor is not None:
+            self.on_pose_jump(pre[anchor], m.kf_pose[anchor])

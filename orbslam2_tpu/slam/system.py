@@ -87,6 +87,7 @@ class System:
                     mesh=mesh,
                 )
                 self.local_mapper.on_processed = self.loop_closer.insert_keyframe
+                self.loop_closer.on_pose_jump = self.tracker.apply_pose_jump
             else:
                 self.local_mapper.on_processed = (
                     lambda kf: self.relocalizer.add_keyframe(kf)
@@ -98,14 +99,19 @@ class System:
         if self.loop_closer is not None:
             self.loop_closer.timers = self.timers
 
-        # threaded pipeline: mapping + loop closing drain on a worker
-        # thread (reference System.cpp:63-77 thread spawns); the tracker
-        # only ever blocks on the map lock, never on a BA solve
+        # threaded pipeline: mapping and loop closing each drain on their
+        # own worker thread (reference System.cpp:63-77 spawns separate
+        # LocalMapping and LoopClosing threads); the tracker only ever
+        # blocks on the map lock, never on a BA solve or a Sim3 search
         self.worker = None
+        self.loop_worker = None
         if threaded:
-            from .pipeline import MappingWorker
+            from .pipeline import LoopWorker, MappingWorker
 
             self.worker = MappingWorker(self.local_mapper)
+            if self.loop_closer is not None:
+                self.loop_worker = LoopWorker(self.loop_closer)
+                self.local_mapper.on_processed = self.loop_worker.submit
         self.viewer = None
         if use_viewer:
             from .viewer import Viewer
@@ -161,6 +167,9 @@ class System:
         if self.worker is not None:
             self.worker.finish()
             self.worker = None
+        if self.loop_worker is not None:
+            self.loop_worker.finish()
+            self.loop_worker = None
         if measure_frontend_split and self.tracker.last_images is not None:
             imL, imR = self.tracker.last_images
             t_orb, t_full = self.frontend.measure_stage_split(imL, imR)
@@ -175,6 +184,11 @@ class System:
         the host-sequenced modes)."""
         if self.worker is not None:
             self.worker.wait_idle(timeout)
+        if self.loop_worker is not None:
+            self.loop_worker.wait_idle(timeout)
+            if self.worker is not None:
+                # a loop correction may have re-woken the mapper
+                self.worker.wait_idle(timeout)
 
     # ------------------------------------------------------------------
 

@@ -405,6 +405,20 @@ class Tracker:
         Twc = np.linalg.inv(frame.Tcw)
         return (Twc @ pc)[:3]
 
+    def apply_pose_jump(self, T_old: np.ndarray, T_new: np.ndarray):
+        """Re-anchor the motion-model state after a loop correction /
+        essential graph / GBA write-back moved the current region's poses
+        (called under the map lock). The reference has no equivalent — its
+        tracker simply risks one failed frame after CorrectLoop rewrites
+        mpCurrentKeyFrame's neighborhood (LoopClosing.cpp:429-501); here
+        the last frame rides the same correction so the motion model stays
+        continuous across the jump."""
+        lf = self.last_frame
+        if lf is None or lf.Tcw is None:
+            return
+        D = np.linalg.inv(T_old.astype(np.float64)) @ T_new.astype(np.float64)
+        lf.Tcw = (lf.Tcw.astype(np.float64) @ D).astype(np.float32)
+
     def _check_replaced_in_last_frame(self):
         lf = self.last_frame
         # fast path: nothing was replaced since the last frame
@@ -765,11 +779,25 @@ class Tracker:
         c1a = frame.frame_id >= self.last_kf_id + self.max_frames
         c1b = frame.frame_id >= self.last_kf_id + self.min_frames and idle
         c1c = self.n_inliers < n_ref_matches * 0.25 or need_close
+        # latency-adaptive trigger (deviation from the reference, documented):
+        # the reference's mapping thread turns a keyframe around in ~100 ms,
+        # so waiting for idle (c1b) costs a couple of frames at most
+        # (LocalMapping.cpp:22-107). Here mapping runs as batched device
+        # programs whose latency can span many frames, and a fast-rotating
+        # camera can lose the map entirely before the c1c emergency (0.25)
+        # fires. When the mapper is busy and tracking has lost half its
+        # support, force the insertion path (it still rides the reference's
+        # InterruptBA + queue<3 policy below, Tracking.cpp:884-894).
+        c1d = (
+            not idle
+            and self.n_inliers < n_ref_matches * 0.5
+            and frame.frame_id >= self.last_kf_id + 3
+        )
         c2 = (
             self.n_inliers < n_ref_matches * th_ref or need_close
         ) and self.n_inliers > 15
 
-        if (c1a or c1b or c1c) and c2:
+        if (c1a or c1b or c1c or c1d) and c2:
             if idle:
                 return True
             if lm is not None:
