@@ -72,7 +72,7 @@ def main():
     # EuRoC-scale circuit world: 752x480 stereo, loop closure at the end
     world = SyntheticWorld(
         n_points=2000, seed=21, baseline=0.2, vertical_extent=6.0,
-        cylinder_radius=11.0,
+        cylinder_radius=11.0, near_fraction=0.15,
     )
     cfg = SlamConfig(
         camera=CameraConfig(

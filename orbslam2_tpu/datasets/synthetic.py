@@ -37,6 +37,11 @@ class SyntheticWorld:
     vertical_extent: float = 8.0
     sprite_world_size: float = 0.9  # meters; on-screen size = f*s/z
     cylinder_radius: float = 0.0  # >0: points on a cylinder wall (loop worlds)
+    #: fraction of cylinder-world sprites on an inner ring at 0.55*R:
+    #: gives the scene CLOSE structure (depth < ThDepth*baseline), without
+    #: which the reference's need_close keyframe rule (Tracking.cpp:
+    #: 846-861) fires on every frame — real scenes have foreground
+    near_fraction: float = 0.0
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -59,6 +64,11 @@ class SyntheticWorld:
                 + 0.10 * np.sin(3 * theta + ph[0]) * np.cos(0.4 * ys + ph[1])
                 + 0.06 * np.sin(7 * theta + ph[2])
             )
+            n_near = int(round(self.near_fraction * n))
+            if n_near:
+                rr[:n_near] = self.cylinder_radius * (
+                    0.55 + 0.06 * np.sin(5 * theta[:n_near] + ph[3])
+                )
             self.points = np.stack(
                 [rr * np.sin(theta), ys, rr * np.cos(theta)], axis=1
             ).astype(np.float64)

@@ -79,8 +79,10 @@ class Frontend:
                 cc.k1, cc.k2, cc.p1, cc.p2, cc.k3,
             )
 
-        @jax.jit
-        def _process(images):
+        def features_body(images):
+            """Traceable frontend body (ORB + stereo matching); composes
+            into larger fused programs (the tracker's one-sync-per-frame
+            step) as well as the standalone `_process` jit below."""
             f = orb.extract(images, params)
             sm = matchers.stereo_match(
                 f.uv[0], f.octave[0], f.desc[0], f.valid[0],
@@ -93,7 +95,8 @@ class Frontend:
                 u_right=sm.u_right, depth=sm.depth,
             )
 
-        self._process = _process
+        self.features_body = features_body
+        self._process = jax.jit(features_body)
 
         @jax.jit
         def _process_mono(image):
@@ -155,17 +158,46 @@ class Frontend:
 
 
 class FrameHost:
-    """Host-side (numpy) snapshot of a processed frame, for map admin."""
+    """Host-side (numpy) snapshot of a processed frame, for map admin.
 
-    def __init__(self, features: FrameFeatures, timestamp: float, frame_id: int):
+    Host arrays are fetched LAZILY: the per-frame tracking hot path runs
+    as one fused device program and never reads them (each synchronous
+    device->host transfer over the TPU tunnel costs a full ~30 ms round
+    trip), while keyframe creation / mapping / relocalization touch any
+    field and trigger ONE batched transfer of all of them.
+    """
+
+    _HOST_FIELDS = (
+        "uv", "octave", "angle", "response", "desc", "valid",
+        "u_right", "depth",
+    )
+
+    def __init__(
+        self,
+        features: FrameFeatures,
+        timestamp: float,
+        frame_id: int,
+        eager: bool = True,
+    ):
         self.timestamp = timestamp
         self.frame_id = frame_id
         # device-resident copy: downstream matchers/optimizers take these
         # directly, avoiding host->device re-uploads of per-frame features
         self._dev = features
+        if eager:
+            self._fetch_host()
+        n = features.valid.shape[0]
+        self.point_ids = np.full(n, -1, np.int64)  # matched map point per kp
+        self.outlier = np.zeros(n, bool)
+        self.Tcw: Optional[np.ndarray] = None  # [4,4] float32
+        # localization-only mode: per-kp "visual odometry" 3D points that
+        # are not in the map (reference mlpTemporalPoints, Tracking.cpp:648)
+        self.temp_points = {}
+
+    def _fetch_host(self):
         # ONE batched device->host transfer: per-leaf np.asarray would pay
         # a full tunnel round trip per field (~8x the latency)
-        f = jax.device_get(features)
+        f = jax.device_get(self._dev)
         self.uv = f.uv
         self.octave = f.octave
         self.angle = f.angle
@@ -174,13 +206,16 @@ class FrameHost:
         self.valid = f.valid
         self.u_right = f.u_right
         self.depth = f.depth
-        n = len(self.valid)
-        self.point_ids = np.full(n, -1, np.int64)  # matched map point per kp
-        self.outlier = np.zeros(n, bool)
-        self.Tcw: Optional[np.ndarray] = None  # [4,4] float32
-        # localization-only mode: per-kp "visual odometry" 3D points that
-        # are not in the map (reference mlpTemporalPoints, Tracking.cpp:648)
-        self.temp_points = {}
+
+    def __getattr__(self, name):
+        # only reached when normal attribute lookup fails: first host
+        # access on a lazily-constructed frame triggers the batched fetch
+        if name in FrameHost._HOST_FIELDS and "_dev" in self.__dict__:
+            self._fetch_host()
+            return self.__dict__[name]
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}"
+        )
 
     @property
     def n_keypoints(self) -> int:

@@ -78,6 +78,20 @@ class LocalMapper:
                 sf, inv_sig2,
             )
         )
+        # forward fusion into ALL 1st+2nd-ring neighbors as ONE vmapped
+        # device program (the reference walks targets sequentially,
+        # LocalMapping.cpp:466-478; per-target round trips dominated the
+        # mapping stage over the TPU tunnel)
+        self._jit_fuse_batch = jax.jit(
+            jax.vmap(
+                lambda uv_kp, o_kp, ur_kp, d_kp, v_kp, uv_pt, ur_pt, l_pt, d_pt, v_pt: matchers.fuse_match(
+                    uv_kp, o_kp, ur_kp, d_kp, v_kp,
+                    uv_pt, ur_pt, l_pt, d_pt, v_pt,
+                    sf, inv_sig2,
+                )[0],
+                in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0),
+            )
+        )
     # ------------------------------------------------------- tracker API
     def is_stopped(self) -> bool:
         return self._stopped
@@ -442,9 +456,8 @@ class LocalMapper:
 
         kp = self.map.kf_point[kf]
         cur_pids = kp[self.map.valid_mask(kp)]
-        # forward: fuse current KF's points into each target
-        for t in targets:
-            self._fuse_into(t, cur_pids)
+        # forward: fuse current KF's points into ALL targets in one launch
+        self._fuse_into_batch(targets, cur_pids)
         # backward: fuse all target points into current KF
         if targets:
             cands = np.unique(
@@ -460,23 +473,13 @@ class LocalMapper:
         self.map.update_normals_batch(pids)
         self.map.update_connections(kf)
 
-    def _fuse_into(self, kf: int, pids):
-        pids = np.asarray(pids, np.int64)
-        if pids.size == 0:
-            return
+    def _project_for_fuse(self, kf: int, pos, normal, dmin, dmax):
+        """Host frustum/scale gates for fusing points into one keyframe
+        (the cheap numpy half of ORBmatcher::Fuse). Returns
+        (uv [P,2] f32, ur [P] f32, level [P] i32, visible [P] bool)."""
         c = self.config.camera
-        f = self.map.kf_frame[kf]
-        kf_pids = self.map.kf_point[kf]
         T = self.map.kf_pose[kf].astype(np.float64)
         Ow = self.map.kf_center(kf)
-        # host-side frustum gates (cheap numpy), device for the matching
-        obs = self.map.pt_obs
-        pids = np.asarray(
-            [int(p) for p in pids if kf not in obs.get(int(p), ())], np.int64
-        )
-        if pids.size == 0:
-            return
-        pos, desc, normal, dmin, dmax = self.map.points_array(pids)
         pc = pos.astype(np.float64) @ T[:3, :3].T + T[:3, 3]
         z = pc[:, 2]
         zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
@@ -492,35 +495,26 @@ class LocalMapper:
             & (dist >= dmin) & (dist <= dmax)
             & (viewcos > 0.5)
         )
-        if not visible.any():
-            return
         ratio = dmax / np.maximum(dist, 1e-9)
         level = np.clip(
             np.ceil(np.log(np.maximum(ratio, 1e-9)) / self.map.log_scale),
             0, self.map.n_levels - 1,
         ).astype(np.int32)
-
-        P = 1 << int(np.ceil(np.log2(max(len(pids), 256))))
-        def padto(a, fill=0):
-            out = np.full((P,) + a.shape[1:], fill, a.dtype)
-            out[: len(a)] = a
-            return out
-
-        best_idx, best_dist = self._jit_fuse(
-            f.dev.uv, f.dev.octave, f.dev.u_right,
-            f.dev.desc, f.dev.valid,
-            jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
-            jnp.asarray(padto(ur.astype(np.float32))),
-            jnp.asarray(padto(level)),
-            jnp.asarray(padto(desc)),
-            jnp.asarray(padto(visible)),
+        return (
+            np.stack([u, v], -1).astype(np.float32),
+            ur.astype(np.float32), level, visible,
         )
-        best_idx = np.asarray(best_idx)
+
+    def _apply_fuse_matches(self, kf: int, pids, best_idx):
+        """Merge protocol per matched (point, feature) pair (reference
+        ORBmatcher.cpp:795-818): replace the weaker of the two points or
+        add the new observation."""
+        kf_pids = self.map.kf_point[kf]
         for j, pid in enumerate(pids):
             fi = int(best_idx[j])
             if fi < 0:
                 continue
-            pid = self.map.resolve_replaced(pid)
+            pid = self.map.resolve_replaced(int(pid))
             if pid not in self.map.pt_valid or kf in self.map.pt_obs[pid]:
                 continue
             existing = int(kf_pids[fi])
@@ -532,6 +526,96 @@ class LocalMapper:
                     self.map.replace_point(existing, pid)
             else:
                 self.map.add_observation(pid, kf, fi)
+
+    def _fuse_into_batch(self, targets, pids):
+        """Forward Fuse of one point set into many keyframes: host gates
+        per target, ONE vmapped device launch for the matching."""
+        pids = np.asarray(pids, np.int64)
+        if pids.size == 0 or not targets:
+            return
+        pos, desc, normal, dmin, dmax = self.map.points_array(pids)
+        P = 1 << int(np.ceil(np.log2(max(len(pids), 256))))
+
+        def padto(a, fill=0):
+            out = np.full((P,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        rows = []
+        for t in targets:
+            uv, ur, level, visible = self._project_for_fuse(
+                t, pos, normal, dmin, dmax
+            )
+            # skip points this target already observes (vectorized over
+            # its feature->point table)
+            tp = self.map.kf_point[t]
+            visible &= ~np.isin(pids, tp[tp >= 0])
+            rows.append((t, uv, ur, level, visible))
+        rows = [r for r in rows if r[4].any()]
+        if not rows:
+            return
+        K = 1 << int(np.ceil(np.log2(len(rows))))
+        f0 = self.map.kf_frame[rows[0][0]]
+        uvs, urs, lvls, viss = [], [], [], []
+        kuv, koct, kur, kdesc, kval = [], [], [], [], []
+        no_vis = np.zeros(P, bool)
+        for i in range(K):
+            t, uv, ur, level, visible = rows[i if i < len(rows) else 0]
+            f = self.map.kf_frame[t]
+            kuv.append(f.dev.uv)
+            koct.append(f.dev.octave)
+            kur.append(f.dev.u_right)
+            kdesc.append(f.dev.desc)
+            kval.append(f.dev.valid)
+            uvs.append(padto(uv))
+            urs.append(padto(ur))
+            lvls.append(padto(level))
+            viss.append(padto(visible) if i < len(rows) else no_vis)
+        best = np.asarray(
+            self._jit_fuse_batch(
+                jnp.stack(kuv), jnp.stack(koct), jnp.stack(kur),
+                jnp.stack(kdesc), jnp.stack(kval),
+                jnp.asarray(np.stack(uvs)), jnp.asarray(np.stack(urs)),
+                jnp.asarray(np.stack(lvls)), jnp.asarray(padto(desc)),
+                jnp.asarray(np.stack(viss)),
+            )
+        )
+        for i, (t, _, _, _, _) in enumerate(rows):
+            self._apply_fuse_matches(t, pids, best[i])
+
+    def _fuse_into(self, kf: int, pids):
+        pids = np.asarray(pids, np.int64)
+        if pids.size == 0:
+            return
+        f = self.map.kf_frame[kf]
+        # host-side frustum gates (cheap numpy), device for the matching
+        tp = self.map.kf_point[kf]
+        pids = pids[~np.isin(pids, tp[tp >= 0])]
+        if pids.size == 0:
+            return
+        pos, desc, normal, dmin, dmax = self.map.points_array(pids)
+        uv, ur, level, visible = self._project_for_fuse(
+            kf, pos, normal, dmin, dmax
+        )
+        if not visible.any():
+            return
+
+        P = 1 << int(np.ceil(np.log2(max(len(pids), 256))))
+        def padto(a, fill=0):
+            out = np.full((P,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        best_idx, best_dist = self._jit_fuse(
+            f.dev.uv, f.dev.octave, f.dev.u_right,
+            f.dev.desc, f.dev.valid,
+            jnp.asarray(padto(uv)),
+            jnp.asarray(padto(ur)),
+            jnp.asarray(padto(level)),
+            jnp.asarray(padto(desc)),
+            jnp.asarray(padto(visible)),
+        )
+        self._apply_fuse_matches(kf, pids, np.asarray(best_idx))
 
     # -------------------------------------------------------------------
 
@@ -549,8 +633,9 @@ class LocalMapper:
         # iterations; on abort the partial estimate is still written back
         res = ba.ba_solve_pm_interruptible(
             prob, self.cam, should_abort=lambda: self._abort_ba,
-            sync_every=1,  # minimal abort latency: the tracker's KF-insert
-            # path (InterruptBA) must preempt within one LM iteration
+            sync_every=2,  # abort latency vs sync cost: each sync is a
+            # full tunnel round trip, but the tracker's KF-insert path
+            # (InterruptBA) must still preempt within ~2 LM iterations
         )
         with self.lock:
             apply_pm_result(self.map, res, meta)

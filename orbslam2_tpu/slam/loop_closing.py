@@ -589,6 +589,7 @@ class LoopCloser:
         # loop edge bookkeeping
         m.loop_edges[kf].add(self._matched_kf)
         m.loop_edges[self._matched_kf].add(kf)
+        m.version += 1  # invalidate device-resident candidate caches
         if self.on_pose_jump is not None:
             self.on_pose_jump(T_cur_old, m.kf_pose[kf])
         return corrected, non_corrected, loop_connections

@@ -163,6 +163,10 @@ class SlamMap:
 
         self.keyframe_origins: List[int] = []
         self.big_change_idx = 0
+        #: bumped whenever point geometry/descriptors change in bulk (BA
+        #: write-back, loop corrections, per-keyframe maintenance): the
+        #: tracker's device-resident candidate cache re-uploads on change
+        self.version = 0
         self.on_keyframe_removed = None  # callback(kf) — database erase hook
 
         # The one map-update lock (reference mMutexMapUpdate, Map.hpp /
@@ -463,6 +467,7 @@ class SlamMap:
 
     def compute_distinctive_descriptors_batch(self, pids):
         """Batched ComputeDistinctiveDescriptors over many points."""
+        self.version += 1
         todo, descs = [], []
         for p in pids:
             p = int(p)
@@ -511,6 +516,7 @@ class SlamMap:
 
     def update_normals_batch(self, pids):
         """Batched UpdateNormalAndDepth over many points."""
+        self.version += 1
         rows_p, rows_kf = [], []
         keep, ref_l, lvl_l = [], [], []
         kf_row: Dict[int, int] = {}

@@ -167,19 +167,187 @@ class Tracker:
 
         self._jit_local_step = jax.jit(_local_step)
 
+        # ---- ONE-SYNC fused frame step: frontend (ORB + stereo) +
+        # motion-model matching + pose optimization + local-map matching +
+        # pose optimization as a SINGLE device program. Over the TPU
+        # tunnel every synchronous fetch costs a ~30 ms round trip and the
+        # reference's real-time budget is 50 ms/frame
+        # (Examples/Stereo/stereo_euroc.cc:176-183) — the hot path must be
+        # one dispatch + one fetch. Local-map candidates live in a
+        # device-resident cache (re-uploaded only when the map mutates);
+        # frustum culling and scale prediction run on device.
+        log_scale = float(np.log(config.orb.scale_factor))
+        n_levels = config.orb.n_levels
+        close_thr = float(config.depth_threshold)
+        features_body = frontend.features_body
+
+        def _full_step(images_u8, src_pw, src_has, src_desc, oct_src,
+                       ang_src, src_cand_row, T_pred, th, fwd, bwd,
+                       cand_pos, cand_desc, cand_normal, cand_dmin,
+                       cand_dmax, cand_ok, th_local):
+            fd = features_body(images_u8.astype(jnp.float32))
+
+            # --- motion-model matching + first pose optimization
+            # (reference TrackWithMotionModel, Tracking.cpp:714-772)
+            Rcw, tcw = T_pred[:3, :3], T_pred[:3, 3]
+            pc = jnp.einsum(
+                "ij,nj->ni", Rcw, src_pw, precision="highest"
+            ) + tcw
+            z = pc[:, 2]
+            zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+            u = camcfg.fx * pc[:, 0] / zs + camcfg.cx
+            v = camcfg.fy * pc[:, 1] / zs + camcfg.cy
+            in_img = (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+            proj_valid = src_has & in_img
+            uvp = jnp.stack([u, v], axis=-1).astype(jnp.float32)
+
+            def match(t):
+                pfk, _ = matchers.search_by_projection_frame(
+                    fd.uv, fd.octave, fd.desc, fd.valid, fd.angle,
+                    uvp, oct_src, src_desc, proj_valid, ang_src,
+                    sf, t, fwd, bwd,
+                )
+                return pfk
+
+            pfk_a = match(th)
+            pfk = jnp.where(jnp.sum(pfk_a >= 0) < 20, match(2.0 * th), pfk_a)
+            hit1 = pfk >= 0
+            pw1 = _onehot_rows(pfk, src_pw)
+            obs, is_stereo, inv_sig = _frame_obs(fd)
+            res1 = pose_opt.pose_optimize(
+                T_pred, pw1, obs, inv_sig, is_stereo, hit1, self.cam
+            )
+            keep1 = hit1 & res1.inlier
+            n_match1 = jnp.sum(hit1)
+
+            # --- local candidates: project + frustum under the optimized
+            # pose (reference SearchLocalPoints, Tracking.cpp:979-1038)
+            T1 = res1.Tcw
+            R1, t1 = T1[:3, :3], T1[:3, 3]
+            pc2 = jnp.einsum(
+                "ij,pj->pi", R1, cand_pos, precision="highest"
+            ) + t1
+            z2 = pc2[:, 2]
+            zs2 = jnp.where(jnp.abs(z2) < 1e-9, 1e-9, z2)
+            u2 = camcfg.fx * pc2[:, 0] / zs2 + camcfg.cx
+            v2 = camcfg.fy * pc2[:, 1] / zs2 + camcfg.cy
+            ur2 = u2 - camcfg.bf / zs2
+            Ow = -jnp.einsum("ji,j->i", R1, t1, precision="highest")
+            po = cand_pos - Ow
+            dist = jnp.linalg.norm(po, axis=1)
+            viewcos = jnp.sum(po * cand_normal, axis=1) / jnp.maximum(dist, 1e-9)
+            visible = (
+                (z2 > 0) & (u2 >= 0) & (u2 < W) & (v2 >= 0) & (v2 < H)
+                & (dist >= 0.8 * cand_dmin) & (dist <= 1.2 * cand_dmax)
+                & (viewcos > 0.5) & cand_ok
+            )
+            ratio = cand_dmax / jnp.maximum(dist, 1e-9)
+            level = jnp.clip(
+                jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_scale),
+                0, n_levels - 1,
+            ).astype(jnp.int32)
+
+            # exclude candidates already matched by the motion step
+            # (reference mnLastFrameSeen gate, Tracking.cpp:985-991):
+            # one-hot matmuls instead of scatters
+            S = src_pw.shape[0]
+            kp_choice = matchers._choice_matrix(
+                jnp.clip(pfk, 0, S - 1).astype(jnp.int32), S
+            )
+            src_matched = jnp.any(kp_choice & keep1[:, None], axis=0)
+            P = cand_pos.shape[0]
+            row_choice = matchers._choice_matrix(
+                jnp.clip(src_cand_row, 0, P - 1).astype(jnp.int32), P
+            )
+            cand_matched = jnp.any(
+                row_choice & (src_matched & (src_cand_row >= 0))[:, None],
+                axis=0,
+            )
+            search = visible & ~cand_matched
+
+            kp_free = fd.valid & ~keep1
+            pfk2, _ = matchers.search_by_projection_points(
+                fd.uv, fd.octave, fd.u_right, fd.desc, kp_free,
+                jnp.stack([u2, v2], -1).astype(jnp.float32),
+                ur2.astype(jnp.float32), level,
+                viewcos.astype(jnp.float32), cand_desc, search,
+                sf, th_local,
+            )
+            new_match = pfk2 >= 0
+            pw2 = _onehot_rows(pfk2, cand_pos)
+            valid_i = keep1 | new_match
+            pw_i = jnp.where(keep1[:, None], pw1, pw2)
+            res2 = pose_opt.pose_optimize(
+                T1, pw_i, obs, inv_sig, is_stereo, valid_i, self.cam
+            )
+
+            # keyframe-decision counts (reference Tracking.cpp:846-861)
+            close = fd.valid & (fd.depth > 0) & (fd.depth < close_thr)
+            assoc = valid_i & res2.inlier
+            host = dict(
+                pfk=pfk, keep1=keep1, pfk2=pfk2, valid_i=valid_i,
+                inlier2=res2.inlier, Tcw=res2.Tcw, n_match1=n_match1,
+                # `search` (frustum-visible minus already-matched) so the
+                # host's pt_visible bump matches the legacy bookkeeping
+                visible=search,
+                n_close_tracked=jnp.sum(close & assoc),
+                n_close_free=jnp.sum(close & ~assoc),
+            )
+            return fd, host
+
+        self._jit_full_step = jax.jit(_full_step)
+        #: device-resident local-candidate cache:
+        #: (ids ascending np.int64, device arrays tuple, map version)
+        self._cand_cache = None
+
     # ------------------------------------------------------------------
 
     def _span(self, name):
         return self.timers.span(name) if self.timers else contextlib.nullcontext()
 
+    def _can_fuse(self) -> bool:
+        """The one-sync fused step covers the steady-state stereo hot path
+        (motion model + local map); every other state routes through the
+        legacy multi-dispatch paths."""
+        lm = self.local_mapper
+        return (
+            self.state == TrackingState.OK
+            and self.velocity is not None
+            and not self.only_tracking
+            and not self.config.monocular
+            and self.frame_id >= self.last_reloc_frame_id + 2
+            and not (lm is not None and getattr(lm, "deferred", False))
+            and len(self.local_points) > 0
+        )
+
     def track(self, im_left, im_right, timestamp: float) -> Optional[np.ndarray]:
         """Process one stereo frame; returns Tcw or None when lost."""
+        self.last_images = (im_left, im_right)
+        # both paths quantize to uint8 before upload: over the tunnel the
+        # f32 image pair costs ~28 ms more per frame than uint8, and real
+        # camera streams are uint8 anyway
+        images_u8 = np.stack([
+            np.clip(np.rint(np.asarray(im_left)), 0, 255),
+            np.clip(np.rint(np.asarray(im_right)), 0, 255),
+        ]).astype(np.uint8)
+        if self._can_fuse():
+            with self.map.lock:
+                args, aux = self._assemble_fused(images_u8)
+            with self._span("Fused frame step"):
+                feats, host = self._jit_full_step(*args)
+                # ONE batched sync per frame, outside the map lock so the
+                # mapping/loop workers run during the device round trip
+                host = jax.device_get(host)
+            frame = FrameHost(feats, timestamp, self.frame_id, eager=False)
+            self.frame_id += 1
+            with self.map.lock:
+                self._track(frame, fused=(host, aux))
+            return frame.Tcw if self.state == TrackingState.OK else None
         # ORB extraction and stereo matching are ONE fused device program
         # (the reference times them separately, Frame.cpp:112-132; here the
         # fusion is the point — the span covers both)
-        self.last_images = (im_left, im_right)
         with self._span("ORB extraction + stereo matching"):
-            feats = self.frontend.process(im_left, im_right)
+            feats = self.frontend.process(images_u8[0], images_u8[1])
         frame = FrameHost(feats, timestamp, self.frame_id)
         self.frame_id += 1
         # the map-update lock is held for the frame's map admin (reference
@@ -197,7 +365,7 @@ class Tracker:
             self._track(frame)
         return frame.Tcw if self.state == TrackingState.OK else None
 
-    def _track(self, frame: FrameHost):
+    def _track(self, frame: FrameHost, fused=None):
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             self.state = TrackingState.NOT_INITIALIZED
             if self.config.monocular:
@@ -212,22 +380,34 @@ class Tracker:
             return
 
         ok = False
+        local_done = False
         if self.state == TrackingState.OK:
-            if self.local_mapper is not None and getattr(self.local_mapper, "deferred", False):
-                self.local_mapper.pump()
-            self._check_replaced_in_last_frame()
-            with self._span("Pose prediction"):
-                if self.velocity is None or frame.frame_id < self.last_reloc_frame_id + 2:
-                    ok = self._track_reference_keyframe(frame)
-                else:
-                    ok = self._track_with_motion_model(frame)
-                    if not ok:
+            if fused is not None:
+                # motion + local map already solved in the one-sync fused
+                # device program; only the host bookkeeping remains
+                status = self._apply_fused(frame, *fused)
+                if status == "motion_fail":
+                    with self._span("Pose prediction"):
                         ok = self._track_reference_keyframe(frame)
+                else:
+                    ok = status == "ok"
+                    local_done = True
+            else:
+                if self.local_mapper is not None and getattr(self.local_mapper, "deferred", False):
+                    self.local_mapper.pump()
+                self._check_replaced_in_last_frame()
+                with self._span("Pose prediction"):
+                    if self.velocity is None or frame.frame_id < self.last_reloc_frame_id + 2:
+                        ok = self._track_reference_keyframe(frame)
+                    else:
+                        ok = self._track_with_motion_model(frame)
+                        if not ok:
+                            ok = self._track_reference_keyframe(frame)
         else:  # LOST
             with self._span("Relocalization"):
                 ok = self._relocalize(frame)
 
-        if ok:
+        if ok and not local_done:
             with self._span("Local map tracking"):
                 ok = self._track_local_map(frame)
 
@@ -472,6 +652,142 @@ class Tracker:
         frame.outlier[bad] = False
         good = has & ~bad
         return int((self.map.pt_nobs[frame.point_ids[good]] > 0).sum())
+
+    def _refresh_candidate_cache(self):
+        """Device-resident local-map candidate tables (positions,
+        descriptors, normals, depth bounds). Re-uploaded only when the
+        local-point set or the map version changed (BA write-backs, loop
+        corrections, per-keyframe maintenance bump `map.version`);
+        steady-state frames pass device array handles — zero upload."""
+        m = self.map
+        ids = np.asarray(self.local_points, np.int64)
+        if ids.size:
+            ids = ids[m.valid_mask(ids)]
+        c = self._cand_cache
+        if (
+            c is not None
+            and c["version"] == m.version
+            and np.array_equal(c["ids"], ids)
+        ):
+            return c
+        P = 1 << int(np.ceil(np.log2(max(len(ids), 512))))
+        pos, desc, normal, dmin, dmax = m.points_array(ids)
+
+        def padto(a):
+            out = np.zeros((P,) + a.shape[1:], a.dtype)
+            out[: len(a)] = a
+            return out
+
+        dev = (
+            jnp.asarray(padto(pos)), jnp.asarray(padto(desc)),
+            jnp.asarray(padto(normal)), jnp.asarray(padto(dmin)),
+            jnp.asarray(padto(dmax)),
+            jnp.asarray(np.arange(P) < len(ids)),
+        )
+        c = {"ids": ids, "version": m.version, "dev": dev}
+        self._cand_cache = c
+        return c
+
+    def _assemble_fused(self, images_u8):
+        """Host inputs for the one-sync fused step (under the map lock)."""
+        lf = self.last_frame
+        N = self._N
+        self._check_replaced_in_last_frame()
+        pids = lf.point_ids.copy()
+        has_pt = (pids >= 0) & self.map.valid_mask(pids)
+        pids[~has_pt] = -1
+        pw = np.zeros((N, 3), np.float32)
+        desc = np.zeros((N, 8), np.uint32)
+        pw[has_pt] = self.map.pt_pos[pids[has_pt]]
+        desc[has_pt] = self.map.pt_desc[pids[has_pt]]
+        T_pred = (self.velocity @ lf.Tcw).astype(np.float32)
+        Twc = np.linalg.inv(T_pred.astype(np.float64))
+        tlc = (lf.Tcw.astype(np.float64) @ Twc)[:3, 3]
+        b = self.config.baseline
+        fwd, bwd = bool(tlc[2] > b), bool(-tlc[2] > b)
+        cache = self._refresh_candidate_cache()
+        ids = cache["ids"]
+        src_cand_row = np.full(N, -1, np.int32)
+        if ids.size:
+            loc = np.searchsorted(ids, np.clip(pids, 0, None))
+            locc = np.clip(loc, 0, len(ids) - 1)
+            okm = has_pt & (ids[locc] == pids)
+            src_cand_row[okm] = locc[okm]
+        th_local = (
+            5.0 if self.frame_id < self.last_reloc_frame_id + 2 else 1.0
+        )
+        args = (
+            images_u8, jnp.asarray(pw), jnp.asarray(has_pt),
+            jnp.asarray(desc), lf.dev.octave, lf.dev.angle,
+            jnp.asarray(src_cand_row), jnp.asarray(T_pred),
+            np.float32(7.0), np.bool_(fwd), np.bool_(bwd),
+            *cache["dev"], np.float32(th_local),
+        )
+        aux = {"src_pids": pids, "cand_ids": ids}
+        return args, aux
+
+    def _apply_fused(self, frame: FrameHost, host, aux) -> str:
+        """Host bookkeeping for the fused step's results. Returns "ok",
+        "lost" (local-map support too thin — reference Tracking.cpp:
+        808-819), or "motion_fail" (fall back to reference-KF tracking)."""
+        m = self.map
+        pfk = np.asarray(host["pfk"])
+        keep1 = np.asarray(host["keep1"])
+        pfk2 = np.asarray(host["pfk2"])
+        valid_i = np.asarray(host["valid_i"])
+        inl2 = np.asarray(host["inlier2"])
+        src_pids = aux["src_pids"]
+        cand_ids = aux["cand_ids"]
+        if int(host["n_match1"]) < 20:
+            return "motion_fail"
+
+        frame.Tcw = np.asarray(host["Tcw"]).copy()
+        frame.point_ids[:] = -1
+        k1 = keep1 & (pfk >= 0)
+        frame.point_ids[k1] = src_pids[pfk[k1]]
+        if cand_ids.size:
+            k2 = ~k1 & (pfk2 >= 0) & (pfk2 < len(cand_ids))
+            frame.point_ids[k2] = cand_ids[pfk2[k2]]
+        # drop pids the mapper invalidated between assembly and apply
+        hasp = frame.point_ids >= 0
+        frame.point_ids[hasp & ~m.valid_mask(frame.point_ids)] = -1
+
+        # motion-stage map support (reference TrackWithMotionModel >= 10)
+        mk = k1 & (frame.point_ids >= 0)
+        if int((m.pt_nobs[frame.point_ids[mk]] > 0).sum()) < 10:
+            return "motion_fail"
+
+        # visibility / found statistics (reference SearchLocalPoints +
+        # TrackLocalMap bookkeeping, Tracking.cpp:790-806,985-1006)
+        matched_ids = np.unique(frame.point_ids[mk])
+        m.pt_visible[matched_ids] += 1
+        if cand_ids.size:
+            vis = np.asarray(host["visible"])[: len(cand_ids)]
+            m.pt_visible[cand_ids[vis]] += 1
+
+        frame.outlier = valid_i & ~inl2
+        good = (frame.point_ids >= 0) & ~frame.outlier
+        good_ids = frame.point_ids[good]
+        m.pt_found[good_ids] += 1
+        self.n_inliers = int((m.pt_nobs[good_ids] > 0).sum())
+        # stereo mode drops outliers immediately (Tracking.cpp:806)
+        bad = (frame.point_ids >= 0) & frame.outlier
+        frame.point_ids[bad] = -1
+        frame.outlier[bad] = False
+        frame._close_counts = (
+            int(host["n_close_tracked"]), int(host["n_close_free"]),
+        )
+        # local map for the NEXT frame's candidate cache (the fused step
+        # matched against the previous frame's local map — a one-frame lag
+        # the reference does not have; documented deviation)
+        self._update_local_map(frame)
+
+        if (
+            frame.frame_id < self.last_reloc_frame_id + self.max_frames
+            and self.n_inliers < 50
+        ):
+            return "lost"
+        return "ok" if self.n_inliers >= 30 else "lost"
 
     def _track_with_motion_model(self, frame: FrameHost) -> bool:
         """Reference Tracking::TrackWithMotionModel (Tracking.cpp:714-772).
@@ -765,9 +1081,14 @@ class Tracker:
         if self.config.monocular:
             need_close = False
         else:
-            close = frame.valid & (frame.depth > 0) & (frame.depth < self.config.depth_threshold)
-            tracked_close = int((close & (frame.point_ids >= 0) & ~frame.outlier).sum())
-            non_tracked_close = int((close & ((frame.point_ids < 0) | frame.outlier)).sum())
+            cc = getattr(frame, "_close_counts", None)
+            if cc is not None:
+                # computed on device by the fused step (no host fetch)
+                tracked_close, non_tracked_close = cc
+            else:
+                close = frame.valid & (frame.depth > 0) & (frame.depth < self.config.depth_threshold)
+                tracked_close = int((close & (frame.point_ids >= 0) & ~frame.outlier).sum())
+                non_tracked_close = int((close & ((frame.point_ids < 0) | frame.outlier)).sum())
             need_close = (tracked_close < 100) and (non_tracked_close > 70)
 
         if n_kfs < 2:

@@ -19,7 +19,7 @@ from orbslam2_tpu.vocab import train
 def circuit_run():
     world = SyntheticWorld(
         n_points=2000, seed=21, baseline=0.2, vertical_extent=6.0,
-        cylinder_radius=11.0,
+        cylinder_radius=11.0, near_fraction=0.15,
     )
     cfg = SlamConfig(
         camera=CameraConfig(

@@ -113,7 +113,7 @@ def _snapshot(m: SlamMap):
 def mono_loop_run():
     world = SyntheticWorld(
         n_points=2000, seed=21, baseline=0.2, vertical_extent=6.0,
-        cylinder_radius=11.0,
+        cylinder_radius=11.0, near_fraction=0.15,
     )
     cfg = SlamConfig(
         camera=CameraConfig(
