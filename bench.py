@@ -11,10 +11,18 @@ EuRoC scale (752x480 stereo, 1200 ORB features, 8 levels) with local
 mapping AND loop closing enabled on the threaded pipeline — the sequence
 closes a loop (essential graph + global BA included in the wall time).
 
+Compile discipline: the shape policy is FIXED (one shape per device
+program), the rare-event programs are precompiled, the warmup frames
+compile the per-frame programs on the SAME System (then the pipeline is
+reset), and jax.monitoring counts any compile landing inside the timed
+window — the target is zero.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is end-to-end fps over the reference's 20 fps budget.
-The per-stage timing breakdown (reference System.cpp:244-258 analog) and
-the frontend-only throughput (secondary metric) go to stderr.
+Side artifacts: LOOP_TRACE.json (per-candidate Sim3 gate counts),
+PARITY_TPU.json (TPU-vs-CPU frontend descriptor agreement). The
+per-stage timing breakdown (reference System.cpp:244-258 analog), the
+p50/p95 frame latency, and the frontend-only throughput go to stderr.
 """
 
 import json
@@ -55,6 +63,54 @@ def frontend_throughput(world, frontend, n=240):
     return n / (time.perf_counter() - t0)
 
 
+def write_frontend_parity(frontend, imL, imR):
+    """TPU-vs-host frontend parity artifact (guards the Mosaic patch-DMA
+    kernel in ops/patches.py against silent miscompiles): compare the
+    jitted frontend's descriptors against the interpret/jnp fallback on
+    the same frame; write PARITY_TPU.json."""
+    import jax
+    import numpy as np
+
+    out = {"device": jax.devices()[0].platform}
+    try:
+        f_dev = jax.device_get(frontend.process(imL, imR))
+        if jax.default_backend() == "tpu":
+            from orbslam2_tpu.ops import patches
+
+            patches.FORCE_FALLBACK = True
+            try:
+                frontend_ref = type(frontend)(frontend.config)
+                f_ref = jax.device_get(frontend_ref.process(imL, imR))
+            finally:
+                patches.FORCE_FALLBACK = False
+            both = f_dev.valid & f_ref.valid
+            same_bits = np.unpackbits(
+                np.bitwise_xor(
+                    f_dev.desc[both], f_ref.desc[both]
+                ).view(np.uint8), axis=-1
+            ).sum()
+            total_bits = int(both.sum()) * 256
+            out.update(
+                n_kp_dev=int(f_dev.valid.sum()),
+                n_kp_ref=int(f_ref.valid.sum()),
+                n_common=int(both.sum()),
+                bit_error_rate=(
+                    float(same_bits) / total_bits if total_bits else 0.0
+                ),
+                ok=bool(total_bits and same_bits / total_bits < 0.01),
+            )
+        else:
+            out.update(
+                n_kp_dev=int(f_dev.valid.sum()), ok=True,
+                note="non-TPU backend; pallas fallback is the reference path",
+            )
+    except Exception as e:  # pragma: no cover
+        out.update(ok=False, error=str(e))
+    with open(os.path.join(REPO, "PARITY_TPU.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def main():
     import jax
 
@@ -66,8 +122,17 @@ def main():
     from orbslam2_tpu.config import CameraConfig, OrbConfig, SlamConfig
     from orbslam2_tpu.datasets.synthetic import SyntheticWorld
     from orbslam2_tpu.evaluation.ate import ate_rmse
+    from orbslam2_tpu.slam.shapes import ShapePolicy
     from orbslam2_tpu.slam.system import System
     from orbslam2_tpu.vocab import train
+
+    # count compiles; the timed window must observe ZERO
+    compile_events = []
+    jax.monitoring.register_event_duration_secs_listener(
+        lambda name, secs, **kw: compile_events.append((name, secs))
+        if "backend_compile" in name
+        else None
+    )
 
     # EuRoC-scale circuit world: 752x480 stereo, loop closure at the end
     world = SyntheticWorld(
@@ -80,6 +145,11 @@ def main():
             bf=world.bf, width=world.width, height=world.height, fps=20.0,
         ),
         orb=OrbConfig(n_features=1200),
+        # ONE shape per device program: zero recompiles after warmup
+        shapes=ShapePolicy(fixed=True),
+        # hide the device round trip behind the next frame's work (the
+        # tunnel RTT alone is ~25 ms; sequential tracking caps at ~20 fps)
+        pipelined_tracking=True,
     )
 
     # train a small vocabulary for place recognition (offline step in the
@@ -103,31 +173,70 @@ def main():
     poses_gt = world.trajectory_circuit(n_frames)
     frames = [world.render_stereo(T) for T in poses_gt]  # dataset "IO"
 
-    # warmup pass: compile every stage program (map init, motion model,
-    # local map, KF creation, mapping, BA) outside the timed window —
-    # steady-state throughput is the metric, as in the reference whose
-    # first frames also amortize nothing (no JIT there)
-    warm = System(voc, cfg, threaded=True)
-    for i in range(24):
-        imL, imR = frames[i]
-        warm.track_stereo(imL, imR, i / 20.0)
-    warm.wait_idle()
-    warm.shutdown()
+    parity = write_frontend_parity(fe, *frames[0])
 
+    # ONE System for warmup + timed run: warmup frames compile the
+    # per-frame programs (the fixed shape policy pins their buckets), the
+    # precompile covers the rare-event programs, then the pipeline is
+    # reset so the timed 240-frame circuit starts from scratch with every
+    # program warm (the reference has no JIT; steady state is the metric)
     sys_ = System(voc, cfg, threaded=True)
+    t0 = time.perf_counter()
+    sys_.precompile()
+    t_pre = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(30):
+        imL, imR = frames[i]
+        sys_.track_stereo(imL, imR, i / 20.0)
+    sys_.wait_idle()
+    t_warm = time.perf_counter() - t0
+    sys_.reset()
+    from orbslam2_tpu.slam.timing import StageTimers
+
+    sys_.timers = StageTimers()
+    sys_.tracker.timers = sys_.timers
+    sys_.local_mapper.timers = sys_.timers
+    if sys_.loop_closer is not None:
+        sys_.loop_closer.timers = sys_.timers
+
+    n_compiles_warmup = len(compile_events)
     est = []
+    lat = np.zeros(n_frames)
     t0 = time.perf_counter()
     for i, (imL, imR) in enumerate(frames):
+        f0 = time.perf_counter()
         est.append(sys_.track_stereo(imL, imR, i / 20.0))
+        lat[i] = time.perf_counter() - f0
     dt = time.perf_counter() - t0
     sys_.wait_idle()
     fps = n_frames / dt
+    n_compiles_timed = len(compile_events) - n_compiles_warmup
 
     n_loops = sys_.loop_closer.n_loops_closed if sys_.loop_closer else 0
-    pairs = [(g, e) for g, e in zip(poses_gt, est) if e is not None]
+    # ATE over the SOLVED per-frame poses (the trajectory; in pipelined
+    # mode track_stereo returns the motion-model prediction while the
+    # trajectory records each frame's optimized pose at apply time —
+    # reference System.cpp:134-135 online-pose semantics)
+    traj = sys_.tracker.trajectory
+    solved = [
+        (g, e.Tcw) for g, e in zip(poses_gt, traj)
+        if e.Tcw is not None and not e.lost
+    ]
+    pairs = solved
     gt_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for T, _ in pairs])
     est_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for _, T in pairs])
     rmse = ate_rmse(est_xyz, gt_xyz)
+
+    # loop-closure gate trace artifact (why candidates were rejected)
+    if sys_.loop_closer is not None:
+        with open(os.path.join(REPO, "LOOP_TRACE.json"), "w") as f:
+            json.dump(
+                {
+                    "loops_closed": n_loops,
+                    "rejections": sys_.loop_closer.rejections[-200:],
+                },
+                f, indent=1, default=int,
+            )
     report = sys_.shutdown(measure_frontend_split=True)
 
     baseline_fps = 20.0  # reference real-time budget (EuRoC camera rate)
@@ -150,6 +259,19 @@ def main():
         f"loops_closed={n_loops} ate_rmse={rmse:.3f}m "
         f"kfs={sys_.map.n_keyframes()} pts={len(sys_.map.pt_valid)} "
         f"wall={dt:.2f}s",
+        file=sys.stderr,
+    )
+    print(
+        f"# frame latency ms: p50={np.percentile(lat, 50)*1e3:.1f} "
+        f"p90={np.percentile(lat, 90)*1e3:.1f} "
+        f"p95={np.percentile(lat, 95)*1e3:.1f} "
+        f"max={lat.max()*1e3:.1f}",
+        file=sys.stderr,
+    )
+    print(
+        f"# compiles: warmup={n_compiles_warmup} timed_window={n_compiles_timed} "
+        f"(target 0) precompile={t_pre:.1f}s warmup={t_warm:.1f}s "
+        f"parity_ok={parity.get('ok')}",
         file=sys.stderr,
     )
     fps_frontend = frontend_throughput(world, fe)

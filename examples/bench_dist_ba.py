@@ -124,16 +124,42 @@ def main():
             f"  mesh={n}: {dt*1e3:.0f}ms total, {dt/n_lm*1e3:.1f}ms/LM-iter "
             f"(compile {compile_s:.0f}s, chi2 {chi:.3e})"
         )
+    artifact = {
+        "bundle": {"n_kfs": K, "n_points": P, "n_obs": E},
+        "device": jax.devices()[0].platform,
+        "n_lm_iters": n_lm,
+        "mesh_sizes": {
+            str(n): {
+                "total_ms": round(dt * 1e3, 1),
+                "ms_per_lm_iter": round(dt / n_lm * 1e3, 2),
+            }
+            for n, dt in results.items()
+        },
+    }
     if 1 in results and len(results) > 1:
         n_max = max(results)
         eff = results[1] / (results[n_max] * n_max)
         print(f"scaling efficiency at {n_max} devices: {eff*100:.0f}%")
+        artifact["scaling_efficiency"] = {
+            "devices": n_max, "efficiency": round(eff, 3)
+        }
         if not args.tpu:
-            print(
-                "NOTE: virtual CPU-mesh devices share the same host cores, so"
+            note = (
+                "virtual CPU-mesh devices share the same host cores, so"
                 " this efficiency number measures collective overhead only —"
                 " real scaling requires a pod slice (run with --tpu there)."
             )
+            print("NOTE: " + note)
+            artifact["caveat"] = note
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DIST_BA_SCALING.json",
+    )
+    import json
+
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"artifact written to {out_path}")
 
 
 if __name__ == "__main__":

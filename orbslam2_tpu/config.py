@@ -63,6 +63,23 @@ class SlamConfig:
     sensor: str = "stereo"  # "stereo" | "monocular"
     rectify_left: Optional[RectifyConfig] = None
     rectify_right: Optional[RectifyConfig] = None
+    #: padded-bucket policy for every jitted program (slam/shapes.py);
+    #: `shapes.fixed=True` pins ONE shape per program so a precompiled
+    #: system never recompiles mid-run (the TPU production setting)
+    shapes: "ShapePolicy" = None
+    #: pipelined tracking: dispatch frame i's fused device step, then
+    #: apply frame i-1's (already computed) results — hides the device
+    #: round-trip latency behind the next frame's work. One frame of
+    #: bookkeeping lag; the per-frame return value is the motion-model
+    #: prediction, while the trajectory records solved poses. Off by
+    #: default (the reference's per-frame API is fully synchronous).
+    pipelined_tracking: bool = False
+
+    def __post_init__(self):
+        if self.shapes is None:
+            from .slam.shapes import ShapePolicy
+
+            self.shapes = ShapePolicy()
 
     @property
     def monocular(self) -> bool:

@@ -26,6 +26,10 @@ PATCH_W = 256  # lane width: HBM slices must be 128-aligned in offset+size
 
 GROUP = 8  # DMAs in flight per grid step (amortizes per-DMA latency)
 
+#: test/bench hook: route TPU through the dynamic-slice fallback too (the
+#: parity oracle for the Mosaic kernel — see bench.py PARITY_TPU.json)
+FORCE_FALLBACK = False
+
 
 def _patch_kernel(xs_ref, ys_ref, img_ref, out_ref, scratch, sems):
     """Grid step g: launch GROUP concurrent DMAs for keypoints
@@ -70,8 +74,10 @@ def extract_patches(img_pad: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Arr
 
     Off-TPU (tests on the CPU mesh) a vmapped dynamic-slice fallback is
     used — XLA:CPU lowers it fine, and it avoids the per-grid-step
-    interpreter overhead of Pallas interpret mode."""
-    if jax.default_backend() != "tpu":
+    interpreter overhead of Pallas interpret mode. FORCE_FALLBACK routes
+    TPU through the same dynamic-slice path — the parity oracle for the
+    Mosaic kernel (bench.py writes PARITY_TPU.json from the comparison)."""
+    if FORCE_FALLBACK or jax.default_backend() != "tpu":
         def one(x, y):
             return jax.lax.dynamic_slice(img_pad, (y, x), (PATCH, PATCH))
 

@@ -2,7 +2,13 @@
 
 Both local BA (local_mapping) and global BA (loop_closing) build the same
 structure: the map's observation lists grouped per point into [P, D]
-rows, padded to power-of-two buckets so jit recompiles stay bounded.
+rows, padded per the shape policy (slam/shapes.py) so jit recompiles stay
+bounded (fixed caps on TPU: one compiled program per solver).
+
+The observation gather is fully vectorized over the map's dense pt_obs
+mirror — no per-point python walk (the reference's g2o assembly loops per
+edge, src/Optimizer.cpp:482-563; here assembly must be cheap because it
+runs under the map lock while the tracker frames).
 """
 
 from __future__ import annotations
@@ -13,14 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import ba
+from . import shapes as shapes_mod
 from .map import SlamMap
 
 MAX_OBS_PER_POINT = 16  # D cap; overflow observations skip BA (kept in map)
-
-
-def _pow2(n: int, lo: int) -> int:
-    n = max(n, lo)
-    return 1 << (n - 1).bit_length()
 
 
 class PMMeta:
@@ -43,63 +45,102 @@ def assemble_pm_problem(
     kf_index: Dict[int, int],
     pt_index: Dict[int, int],
     free_kfs: List[int],
+    shapes: "shapes_mod.ShapePolicy" = None,
 ):
     """Returns (BAProblemPM, PMMeta) or (None, None) if underconstrained."""
-    K = _pow2(len(all_kfs), 8)
-    P = _pow2(len(pts), 256)
-    D = MAX_OBS_PER_POINT
+    sh = shapes if shapes is not None else shapes_mod.ShapePolicy()
+    K, P, D = sh.ba_shape(len(all_kfs), len(pts), MAX_OBS_PER_POINT)
 
     poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
     for k, i in kf_index.items():
         poses[i] = m.kf_pose[k]
+    pts_arr = np.asarray(pts, np.int64)
     points = np.zeros((P, 3), np.float32)
-    points[: len(pts)] = m.pt_pos[np.asarray(pts, np.int64)]
+    points[: len(pts)] = m.pt_pos[pts_arr]
     fixed_mask = np.ones(K, bool)
     for k in free_kfs:
         fixed_mask[kf_index[k]] = k == 0  # KF0 anchors the gauge
     if all(fixed_mask[kf_index[k]] for k in free_kfs):
         return None, None
-
-    obs_kf = np.zeros((P, D), np.int32)
-    obs = np.zeros((P, D, 3), np.float32)
-    isig = np.ones((P, D), np.float32)
-    ster = np.zeros((P, D), bool)
-    valid = np.zeros((P, D), bool)
-    edge_kf = np.full((P, D), -1, np.int64)
-    sigma2 = frontend.level_sigma2
-    n_edges = 0
-    max_d = 1
-    for p in pts:
-        row = pt_index[p]
-        c = 0
-        for k, idx in m.pt_obs[p].items():
-            if k not in kf_index or c >= D:
-                continue
-            f = m.kf_frame[k]
-            obs_kf[row, c] = kf_index[k]
-            obs[row, c] = (f.uv[idx][0], f.uv[idx][1], f.u_right[idx])
-            isig[row, c] = 1.0 / sigma2[f.octave[idx]]
-            ster[row, c] = f.u_right[idx] >= 0
-            valid[row, c] = True
-            edge_kf[row, c] = k
-            c += 1
-        n_edges += c
-        max_d = max(max_d, c)
-    if n_edges < 10 or len(pts) < 3:
+    if len(pts) < 3:
         return None, None
-    D_eff = _pow2(max_d, 2)
+
+    # --- vectorized observation gather over the dense pt_obs mirror ---
+    rows_kf = m.pt_obs_kf[pts_arr]  # [P0, D0] kf id per slot (-1 empty)
+    rows_idx = m.pt_obs_idx[pts_arr]  # [P0, D0] feature index
+    P0, D0 = rows_kf.shape
+    # kf id -> solver row lookup (only kfs in this problem participate)
+    kf_ids = np.asarray(all_kfs, np.int64)
+    lut = np.full(int(kf_ids.max()) + 2 if len(kf_ids) else 1, -1, np.int64)
+    lut[kf_ids] = [kf_index[int(k)] for k in kf_ids]
+    in_prob = (rows_kf >= 0) & (rows_kf < len(lut))
+    ki = np.where(in_prob, lut[np.clip(rows_kf, 0, len(lut) - 1)], -1)
+    sel = in_prob & (ki >= 0)
+    # compact selected slots to the left of each row (stable)
+    order = np.argsort(~sel, axis=1, kind="stable")
+    sel_c = np.take_along_axis(sel, order, axis=1)[:, :D]
+    ki_c = np.take_along_axis(ki, order, axis=1)[:, :D]
+    kf_c = np.take_along_axis(rows_kf, order, axis=1)[:, :D]
+    idx_c = np.take_along_axis(rows_idx, order, axis=1)[:, :D]
+    n_edges = int(sel_c.sum())
+    if n_edges < 10:
+        return None, None
+    max_d = int(sel_c.sum(axis=1).max())
+    D_eff = D if sh.fixed else min(D, shapes_mod.pow2(max_d, 2))
+    sel_c = sel_c[:, :D_eff]
+    ki_c = ki_c[:, :D_eff]
+    kf_c = kf_c[:, :D_eff]
+    idx_c = idx_c[:, :D_eff]
+
+    # stacked per-keyframe feature tables for one fancy-indexed gather
+    f0 = m.kf_frame[int(kf_ids[0])]
+    N = len(f0.valid)
+    uv_all = np.zeros((len(kf_ids), N, 2), np.float32)
+    ur_all = np.full((len(kf_ids), N), -1.0, np.float32)
+    oct_all = np.zeros((len(kf_ids), N), np.int32)
+    kf_row = {}
+    for r, k in enumerate(kf_ids):
+        f = m.kf_frame[int(k)]
+        uv_all[r] = f.uv
+        ur_all[r] = f.u_right
+        oct_all[r] = f.octave
+        kf_row[int(k)] = r
+    row_lut = np.full(len(lut), 0, np.int64)
+    row_lut[kf_ids] = [kf_row[int(k)] for k in kf_ids]
+    fr = row_lut[np.clip(kf_c, 0, len(lut) - 1)]
+    fi = np.clip(idx_c, 0, N - 1)
+
+    sigma2 = frontend.level_sigma2
+    obs_kf = np.zeros((P, D_eff), np.int32)
+    obs = np.zeros((P, D_eff, 3), np.float32)
+    isig = np.ones((P, D_eff), np.float32)
+    ster = np.zeros((P, D_eff), bool)
+    valid = np.zeros((P, D_eff), bool)
+    edge_kf = np.full((P, D_eff), -1, np.int64)
+    obs_kf[:P0] = np.where(sel_c, ki_c, 0)
+    uv_g = uv_all[fr, fi]  # [P0, D_eff, 2]
+    ur_g = ur_all[fr, fi]
+    obs[:P0, :, 0] = np.where(sel_c, uv_g[..., 0], 0.0)
+    obs[:P0, :, 1] = np.where(sel_c, uv_g[..., 1], 0.0)
+    obs[:P0, :, 2] = np.where(sel_c, ur_g, 0.0)
+    isig[:P0] = np.where(
+        sel_c, 1.0 / sigma2[oct_all[fr, fi]], 1.0
+    ).astype(np.float32)
+    ster[:P0] = sel_c & (ur_g >= 0)
+    valid[:P0] = sel_c
+    edge_kf[:P0] = np.where(sel_c, kf_c, -1)
 
     prob = ba.BAProblemPM(
         poses=jnp.asarray(poses),
         points=jnp.asarray(points),
-        obs_kf=jnp.asarray(obs_kf[:, :D_eff]),
-        obs=jnp.asarray(obs[:, :D_eff]),
-        inv_sigma2=jnp.asarray(isig[:, :D_eff]),
-        is_stereo=jnp.asarray(ster[:, :D_eff]),
-        edge_valid=jnp.asarray(valid[:, :D_eff]),
+        obs_kf=jnp.asarray(obs_kf),
+        obs=jnp.asarray(obs),
+        inv_sigma2=jnp.asarray(isig),
+        is_stereo=jnp.asarray(ster),
+        edge_valid=jnp.asarray(valid),
         pose_fixed=jnp.asarray(fixed_mask),
     )
-    meta = PMMeta(kf_index, pt_index, fixed_mask, edge_kf[:, :D_eff], pts, free_kfs)
+    meta = PMMeta(kf_index, pt_index, fixed_mask, edge_kf, pts, free_kfs)
     return prob, meta
 
 
@@ -113,12 +154,14 @@ def apply_pm_result(m: SlamMap, res, meta: PMMeta):
     new_points = res.points
     inlier = res.edge_inlier
     for k, i in meta.kf_index.items():
-        if not meta.fixed_mask[i]:
+        if not meta.fixed_mask[i] and k in m.kf_valid:
             m.kf_pose[k] = new_poses[i]
     pt_ids = np.asarray(meta.pts, np.int64)
     alive = m.valid_mask(pt_ids)
     m.pt_pos[pt_ids[alive]] = new_points[: len(pt_ids)][alive].astype(np.float64)
-    bad_rows, bad_slots = np.nonzero((meta.edge_kf >= 0) & ~inlier)
+    bad_rows, bad_slots = np.nonzero(
+        (meta.edge_kf >= 0) & ~inlier[: meta.edge_kf.shape[0]]
+    )
     for r, c in zip(bad_rows, bad_slots):
         p = meta.pts[r] if r < len(meta.pts) else None
         if p is not None and p in m.pt_valid:

@@ -123,6 +123,7 @@ def load_map(m: SlamMap, path: str):
         p, k, idx = int(p), int(k), int(idx)
         m.pt_obs[p][k] = idx
         m.pt_nobs[p] += m._obs_weight(k, idx)
+    m.rebuild_obs_mirror()
     m._next_kf = int(kfs.max()) + 1 if len(kfs) else 0
     m._next_pt = int(pts.max()) + 1 if len(pts) else 0
     m.keyframe_origins = [int(x) for x in z["origins"]]

@@ -197,7 +197,11 @@ class FrameHost:
     def _fetch_host(self):
         # ONE batched device->host transfer: per-leaf np.asarray would pay
         # a full tunnel round trip per field (~8x the latency)
-        f = jax.device_get(self._dev)
+        self.attach_host(jax.device_get(self._dev))
+
+    def attach_host(self, f: FrameFeatures):
+        """Install already-fetched host arrays (the pipelined tracker
+        fetches features together with the step outputs in one transfer)."""
         self.uv = f.uv
         self.octave = f.octave
         self.angle = f.angle

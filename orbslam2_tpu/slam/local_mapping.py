@@ -21,6 +21,7 @@ import numpy as np
 
 from ..config import SlamConfig
 from ..ops import ba, matchers
+from . import shapes as shapes_mod
 from .ba_assembly import apply_pm_result, assemble_pm_problem
 from .frontend import Frontend
 from .map import SlamMap
@@ -40,6 +41,7 @@ class LocalMapper:
         #: on keyframe insertion.
         self.deferred = deferred
         self.config = config
+        self.shapes = config.shapes
         self.frontend = frontend
         self.map = slam_map
         self.lock = slam_map.lock  # the map-update lock (mMutexMapUpdate)
@@ -62,15 +64,28 @@ class LocalMapper:
 
         # all covisible neighbors matched in ONE device program (the
         # reference walks neighbors sequentially, LocalMapping.cpp:202;
-        # one vmapped launch replaces ~10 round trips per keyframe)
-        self._jit_epipolar_batch = jax.jit(
-            jax.vmap(
-                lambda uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep: matchers.epipolar_match(
-                    uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep, sf, sig2
-                )[0],
-                in_axes=(None, None, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
-            )
+        # one vmapped launch replaces ~10 round trips per keyframe).
+        # Neighbor inputs arrive as TUPLES and stack INSIDE the jit: an
+        # eager jnp.stack of K device arrays dispatches a concat over the
+        # TPU tunnel per call (profiled ~hundreds of ms of pure dispatch
+        # latency per keyframe in the round-3 on-chip runs).
+        _epi_vmap = jax.vmap(
+            lambda uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep: matchers.epipolar_match(
+                uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep, sf, sig2
+            )[0],
+            in_axes=(None, None, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
         )
+
+        def _epi_batch(uv1, d1, f1, a1, s1, uv2s, o2s, d2s, fr2s, a2s, st2s,
+                       Fs, eps):
+            return _epi_vmap(
+                uv1, d1, f1, a1, s1,
+                jnp.stack(uv2s), jnp.stack(o2s), jnp.stack(d2s),
+                jnp.stack(fr2s), jnp.stack(a2s), jnp.stack(st2s),
+                jnp.stack(Fs), jnp.stack(eps),
+            )
+
+        self._jit_epipolar_batch = jax.jit(_epi_batch)
         self._jit_fuse = jax.jit(
             lambda uv_kp, o_kp, ur_kp, d_kp, v_kp, uv_pt, ur_pt, l_pt, d_pt, v_pt: matchers.fuse_match(
                 uv_kp, o_kp, ur_kp, d_kp, v_kp,
@@ -81,17 +96,28 @@ class LocalMapper:
         # forward fusion into ALL 1st+2nd-ring neighbors as ONE vmapped
         # device program (the reference walks targets sequentially,
         # LocalMapping.cpp:466-478; per-target round trips dominated the
-        # mapping stage over the TPU tunnel)
-        self._jit_fuse_batch = jax.jit(
-            jax.vmap(
-                lambda uv_kp, o_kp, ur_kp, d_kp, v_kp, uv_pt, ur_pt, l_pt, d_pt, v_pt: matchers.fuse_match(
-                    uv_kp, o_kp, ur_kp, d_kp, v_kp,
-                    uv_pt, ur_pt, l_pt, d_pt, v_pt,
-                    sf, inv_sig2,
-                )[0],
-                in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0),
-            )
+        # mapping stage over the TPU tunnel). Tuple inputs, stacked
+        # inside the jit (same eager-dispatch rationale as the epipolar
+        # batch above).
+        _fuse_vmap = jax.vmap(
+            lambda uv_kp, o_kp, ur_kp, d_kp, v_kp, uv_pt, ur_pt, l_pt, d_pt, v_pt: matchers.fuse_match(
+                uv_kp, o_kp, ur_kp, d_kp, v_kp,
+                uv_pt, ur_pt, l_pt, d_pt, v_pt,
+                sf, inv_sig2,
+            )[0],
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0),
         )
+
+        def _fuse_batch(kuv, koct, kur, kdesc, kval, uvs, urs, lvls, desc,
+                        viss):
+            return _fuse_vmap(
+                jnp.stack(kuv), jnp.stack(koct), jnp.stack(kur),
+                jnp.stack(kdesc), jnp.stack(kval),
+                jnp.stack(uvs), jnp.stack(urs), jnp.stack(lvls), desc,
+                jnp.stack(viss),
+            )
+
+        self._jit_fuse_batch = jax.jit(_fuse_batch)
     # ------------------------------------------------------- tracker API
     def is_stopped(self) -> bool:
         return self._stopped
@@ -148,9 +174,12 @@ class LocalMapper:
 
     def _process(self, kf: int):
         """The mapping thread loop body (reference LocalMapping::Run,
-        LocalMapping.cpp:22-107). Map-mutating stages run under the map
-        lock; the BA device solve runs outside it (assemble/apply locked)
-        so tracking is never blocked for the duration of a solve."""
+        LocalMapping.cpp:22-107). EVERY stage follows the same discipline
+        as local BA: assemble under the map lock, run the device solve
+        unlocked, apply under the lock — the reference's mapping thread
+        likewise takes mMutexMapUpdate only for write-back
+        (Optimizer.cpp:745). The tracker's per-frame map admin is never
+        blocked for the duration of a device round trip."""
         self._accept = False  # reference SetAcceptKeyFrames(false)
         try:
             with self.lock:
@@ -158,12 +187,20 @@ class LocalMapper:
                     self.map.update_connections(kf)
                 with self._span("Map point culling"):
                     self._cull_map_points(kf)
-                with self._span("Map point creation"):
-                    self._create_new_points(kf)
-                if not self._queue:
-                    with self._span("Map point fusion"):
-                        self._fuse_neighbors(kf)
-            if self.map.n_keyframes() > 2 and not self._queue:
+            with self._span("Map point creation"):
+                self._create_new_points(kf)  # manages the lock internally
+            if not self._queue:
+                with self._span("Map point fusion"):
+                    self._fuse_neighbors(kf)  # manages the lock internally
+            # gate on _stopped: a LoopCloser.request_stop() landing between
+            # pump()'s entry check and here must not be nullified by the
+            # _abort_ba reset (reference checks !stopRequested() before the
+            # BA, LocalMapping.cpp:68)
+            if (
+                self.map.n_keyframes() > 2
+                and not self._queue
+                and not self._stopped
+            ):
                 self._abort_ba = False
                 with self._span("Local BA"):
                     self._local_ba(kf)
@@ -199,6 +236,10 @@ class LocalMapper:
 
     # -------------------------------------------------------------------
 
+    def _bucket_k(self, n: int) -> int:
+        """Neighbor-axis bucket for the vmapped epipolar launch."""
+        return self.shapes.bucket_select(n, 1, self.shapes.neighbor_cap)
+
     def _fundamental(self, kf1: int, kf2: int) -> np.ndarray:
         """Reference LocalMapping::ComputeF12 (LocalMapping.cpp:512-532)."""
         T1 = self.map.kf_pose[kf1].astype(np.float64)
@@ -214,53 +255,66 @@ class LocalMapper:
         return (Kinv.T @ tx @ R12 @ Kinv).astype(np.float32)
 
     def _create_new_points(self, kf1: int):
-        """Reference LocalMapping::CreateNewMapPoints (LocalMapping.cpp:197-431)."""
+        """Reference LocalMapping::CreateNewMapPoints (LocalMapping.cpp:197-431).
+
+        Three phases: snapshot the keyframe + neighbor state under the map
+        lock, run the ONE vmapped epipolar launch + fetch unlocked, then
+        triangulate and write new points back under the lock (with
+        validity re-checks — a loop correction may have landed meanwhile)."""
         c = self.config.camera
         b = self.config.baseline
         ratio_factor = 1.5 * self.map.scale_factor
-        f1 = self.map.kf_frame[kf1]
-        T1 = self.map.kf_pose[kf1].astype(np.float64)
-        O1 = self.map.kf_center(kf1)
-        pids1 = self.map.kf_point[kf1]
-        free1 = f1.valid & (pids1 < 0)
-        stereo1 = f1.u_right >= 0
 
-        neighbors = self.map.covisible_keyframes(
-            kf1, 20 if self.config.monocular else 10
-        )
-        # gather per-neighbor inputs; all neighbors are matched in ONE
-        # vmapped device program (vs one round trip each in the sequential
-        # reference walk, LocalMapping.cpp:202-231)
-        active = []
-        for kf2 in neighbors:
-            O2 = self.map.kf_center(kf2)
-            baseline = np.linalg.norm(O2 - O1)
-            if self.config.monocular:
-                # mono rule: baseline / median scene depth (LocalMapping.cpp
-                # upstream): skip near-zero-parallax neighbors
-                med = self._median_scene_depth(kf2)
-                if med <= 0 or baseline / med < 0.01:
-                    continue
-            elif baseline < b:  # stereo rule (LocalMapping.cpp:232-239)
-                continue
-            f2 = self.map.kf_frame[kf2]
-            T2 = self.map.kf_pose[kf2].astype(np.float64)
-            pids2 = self.map.kf_point[kf2]
-            free2 = f2.valid & (pids2 < 0)
-            stereo2 = f2.u_right >= 0
-            F12 = self._fundamental(kf1, kf2)
-            # epipole of kf1 center in kf2
-            C2 = T2[:3, :3] @ O1 + T2[:3, 3]
-            ep = np.array(
-                [c.fx * C2[0] / C2[2] + c.cx, c.fy * C2[1] / C2[2] + c.cy],
-                np.float32,
+        with self.lock:
+            if kf1 not in self.map.kf_valid:
+                return
+            f1 = self.map.kf_frame[kf1]
+            T1 = self.map.kf_pose[kf1].astype(np.float64).copy()
+            O1 = self.map.kf_center(kf1)
+            pids1 = self.map.kf_point[kf1]
+            free1 = f1.valid & (pids1 < 0)
+            stereo1 = f1.u_right >= 0
+
+            neighbors = self.map.covisible_keyframes(
+                kf1, 20 if self.config.monocular else 10
             )
-            active.append((kf2, T2, O2, f2, free2, stereo2, F12, ep))
+            # gather per-neighbor inputs; all neighbors are matched in ONE
+            # vmapped device program (vs one round trip each in the
+            # sequential reference walk, LocalMapping.cpp:202-231)
+            active = []
+            for kf2 in neighbors:
+                O2 = self.map.kf_center(kf2)
+                baseline = np.linalg.norm(O2 - O1)
+                if self.config.monocular:
+                    # mono rule: baseline / median scene depth (upstream
+                    # LocalMapping.cpp): skip near-zero-parallax neighbors
+                    med = self._median_scene_depth(kf2)
+                    if med <= 0 or baseline / med < 0.01:
+                        continue
+                elif baseline < b:  # stereo rule (LocalMapping.cpp:232-239)
+                    continue
+                f2 = self.map.kf_frame[kf2]
+                T2 = self.map.kf_pose[kf2].astype(np.float64).copy()
+                pids2 = self.map.kf_point[kf2]
+                free2 = f2.valid & (pids2 < 0)
+                stereo2 = f2.u_right >= 0
+                F12 = self._fundamental(kf1, kf2)
+                # epipole of kf1 center in kf2
+                C2 = T2[:3, :3] @ O1 + T2[:3, 3]
+                ep = np.array(
+                    [c.fx * C2[0] / C2[2] + c.cx, c.fy * C2[1] / C2[2] + c.cy],
+                    np.float32,
+                )
+                active.append((kf2, T2, O2, f2, free2, stereo2, F12, ep))
         if not active:
             return
-        # pad the neighbor axis to a power-of-two bucket to bound recompiles;
+
+        # --- unlocked: device launch + fetch (frame features are
+        # immutable device snapshots; everything else was copied above).
+        # Neighbor axis padded to a bucket (fixed cap when configured);
         # padding rows reuse the first neighbor's features with free2=False
-        K = 1 << int(np.ceil(np.log2(len(active))))
+        K = self._bucket_k(len(active))
+        active = active[:K]  # fixed-cap overflow: keep top-covisible
         uv2s, o2s, d2s, fr2s, a2s, st2s, Fs, eps = ([] for _ in range(8))
         for i in range(K):
             kf2, T2, O2, f2, fr, st, F12, ep = (
@@ -269,32 +323,50 @@ class LocalMapper:
             uv2s.append(f2.dev.uv)
             o2s.append(f2.dev.octave)
             d2s.append(f2.dev.desc)
-            fr2s.append(jnp.asarray(fr if i < len(active) else np.zeros_like(fr)))
+            fr2s.append(fr if i < len(active) else np.zeros_like(fr))
             a2s.append(f2.dev.angle)
-            st2s.append(jnp.asarray(st))
-            Fs.append(jnp.asarray(F12))
-            eps.append(jnp.asarray(ep))
+            st2s.append(st)
+            Fs.append(F12)
+            eps.append(ep)
         m12_all = np.asarray(
             self._jit_epipolar_batch(
-                f1.dev.uv, f1.dev.desc, jnp.asarray(free1),
-                f1.dev.angle, jnp.asarray(stereo1),
-                jnp.stack(uv2s), jnp.stack(o2s), jnp.stack(d2s),
-                jnp.stack(fr2s), jnp.stack(a2s), jnp.stack(st2s),
-                jnp.stack(Fs), jnp.stack(eps),
+                f1.dev.uv, f1.dev.desc, free1,
+                f1.dev.angle, stereo1,
+                tuple(uv2s), tuple(o2s), tuple(d2s),
+                tuple(fr2s), tuple(a2s), tuple(st2s),
+                tuple(Fs), tuple(eps),
             )
         )
-        for j, (kf2, T2, O2, f2, free2, stereo2, F12, ep) in enumerate(active):
-            m12 = m12_all[j]
-            # a kp1 claimed by an earlier neighbor's triangulation is
-            # skipped (the sequential reference excluded it from matching)
-            still_free = self.map.kf_point[kf1] < 0
-            pairs = [
-                (i, int(m12[i]))
-                for i in np.nonzero((m12 >= 0) & still_free)[0]
-            ]
-            created = self._triangulate_pairs(
-                kf1, kf2, pairs, T1, T2, O1, O2, ratio_factor
-            )
+
+        # --- locked: triangulate + allocate points (host math is cheap
+        # numpy; the poses are re-read so a mid-flight correction moves
+        # the triangulation with the map)
+        with self.lock:
+            if kf1 not in self.map.kf_valid:
+                return
+            for j, (kf2, T2, O2, f2, free2, stereo2, F12, ep) in enumerate(active):
+                if kf2 not in self.map.kf_valid:
+                    continue
+                # re-read poses: a loop correction may have rewritten them
+                # while the matcher ran (matches are pose-robust enough;
+                # the triangulation must use current geometry)
+                T1c = self.map.kf_pose[kf1].astype(np.float64)
+                T2c = self.map.kf_pose[kf2].astype(np.float64)
+                O1c = self.map.kf_center(kf1)
+                O2c = self.map.kf_center(kf2)
+                m12 = m12_all[j]
+                # a kp1 claimed by an earlier neighbor's triangulation is
+                # skipped (the sequential reference excluded it from matching)
+                still_free = self.map.kf_point[kf1] < 0
+                free2_now = self.map.kf_point[kf2] < 0
+                pairs = [
+                    (i, int(m12[i]))
+                    for i in np.nonzero((m12 >= 0) & still_free)[0]
+                    if free2_now[int(m12[i])]
+                ]
+                self._triangulate_pairs(
+                    kf1, kf2, pairs, T1c, T2c, O1c, O2c, ratio_factor
+                )
 
     def _triangulate_pairs(self, kf1, kf2, pairs, T1, T2, O1, O2, ratio_factor):
         """Triangulation + acceptance gates (reference LocalMapping.cpp:274-407),
@@ -418,6 +490,12 @@ class LocalMapper:
         )
         for j in range(n):
             m.pt_obs[base + j] = {kf1: int(a_idx[j]), kf2: int(b_idx[j])}
+        # dense mirror (rows are freshly allocated, already -1)
+        m.pt_obs_kf[new_ids, 0] = kf1
+        m.pt_obs_idx[new_ids, 0] = a_idx
+        m.pt_obs_kf[new_ids, 1] = kf2
+        m.pt_obs_idx[new_ids, 1] = b_idx
+        m.pt_obs_n[new_ids] = 2
         m.kf_point[kf1][a_idx] = new_ids
         m.kf_point[kf2][b_idx] = new_ids
         created = new_ids.tolist()
@@ -446,32 +524,50 @@ class LocalMapper:
     # -------------------------------------------------------------------
 
     def _fuse_neighbors(self, kf: int):
-        """Reference LocalMapping::SearchInNeighbors (LocalMapping.cpp:433-510)."""
-        targets = []
-        for nb in self.map.covisible_keyframes(kf, 10):
-            targets.append(nb)
-            for nb2 in self.map.covisible_keyframes(nb, 5):
-                if nb2 != kf and nb2 not in targets:
-                    targets.append(nb2)
+        """Reference LocalMapping::SearchInNeighbors (LocalMapping.cpp:433-510).
 
-        kp = self.map.kf_point[kf]
-        cur_pids = kp[self.map.valid_mask(kp)]
+        Assemble (host frustum gates) under the map lock, run the vmapped
+        matching launches unlocked, apply the merges under the lock —
+        `_apply_fuse_matches` re-validates every pid so mid-flight map
+        mutations are safe."""
+        with self.lock:
+            if kf not in self.map.kf_valid:
+                return
+            targets = []
+            for nb in self.map.covisible_keyframes(kf, 10):
+                targets.append(nb)
+                for nb2 in self.map.covisible_keyframes(nb, 5):
+                    if nb2 != kf and nb2 not in targets:
+                        targets.append(nb2)
+            targets = targets[: self.shapes.fuse_targets_cap]
+            kp = self.map.kf_point[kf]
+            cur_pids = kp[self.map.valid_mask(kp)]
+
         # forward: fuse current KF's points into ALL targets in one launch
         self._fuse_into_batch(targets, cur_pids)
         # backward: fuse all target points into current KF
         if targets:
-            cands = np.unique(
-                np.concatenate([self.map.kf_point[t] for t in targets])
-            )
-            fuse_cands = cands[self.map.valid_mask(cands)]
+            with self.lock:
+                if kf not in self.map.kf_valid:
+                    return
+                cands = np.unique(
+                    np.concatenate([
+                        self.map.kf_point[t]
+                        for t in targets if t in self.map.kf_valid
+                    ] or [np.zeros(0, np.int64)])
+                )
+                fuse_cands = cands[self.map.valid_mask(cands)]
             self._fuse_into(kf, fuse_cands)
 
         # refresh point stats + connections of the current keyframe
-        kp = self.map.kf_point[kf]
-        pids = kp[kp >= 0]
-        self.map.compute_distinctive_descriptors_batch(pids)
-        self.map.update_normals_batch(pids)
-        self.map.update_connections(kf)
+        with self.lock:
+            if kf not in self.map.kf_valid:
+                return
+            kp = self.map.kf_point[kf]
+            pids = kp[kp >= 0]
+            self.map.compute_distinctive_descriptors_batch(pids)
+            self.map.update_normals_batch(pids)
+            self.map.update_connections(kf)
 
     def _project_for_fuse(self, kf: int, pos, normal, dmin, dmax):
         """Host frustum/scale gates for fusing points into one keyframe
@@ -529,39 +625,47 @@ class LocalMapper:
 
     def _fuse_into_batch(self, targets, pids):
         """Forward Fuse of one point set into many keyframes: host gates
-        per target, ONE vmapped device launch for the matching."""
+        per target (locked), ONE vmapped device launch for the matching
+        (unlocked), merge protocol (locked)."""
         pids = np.asarray(pids, np.int64)
         if pids.size == 0 or not targets:
             return
-        pos, desc, normal, dmin, dmax = self.map.points_array(pids)
-        P = 1 << int(np.ceil(np.log2(max(len(pids), 256))))
-
-        def padto(a, fill=0):
-            out = np.full((P,) + a.shape[1:], fill, a.dtype)
-            out[: len(a)] = a
-            return out
-
-        rows = []
-        for t in targets:
-            uv, ur, level, visible = self._project_for_fuse(
-                t, pos, normal, dmin, dmax
+        sh = self.shapes
+        with self.lock:
+            pids = shapes_mod.select_top(
+                pids, self.map.pt_nobs[pids].astype(np.float64),
+                sh.bucket_select(len(pids), 256, sh.fuse_src_cap),
             )
-            # skip points this target already observes (vectorized over
-            # its feature->point table)
-            tp = self.map.kf_point[t]
-            visible &= ~np.isin(pids, tp[tp >= 0])
-            rows.append((t, uv, ur, level, visible))
-        rows = [r for r in rows if r[4].any()]
-        if not rows:
-            return
-        K = 1 << int(np.ceil(np.log2(len(rows))))
-        f0 = self.map.kf_frame[rows[0][0]]
+            pos, desc, normal, dmin, dmax = self.map.points_array(pids)
+            P = sh.bucket(len(pids), 256, sh.fuse_src_cap)
+
+            def padto(a, fill=0):
+                return shapes_mod.pad_rows(a, P, fill)
+
+            rows = []
+            for t in targets:
+                if t not in self.map.kf_valid:
+                    continue
+                uv, ur, level, visible = self._project_for_fuse(
+                    t, pos, normal, dmin, dmax
+                )
+                # skip points this target already observes (vectorized
+                # over its feature->point table)
+                tp = self.map.kf_point[t]
+                visible &= ~np.isin(pids, tp[tp >= 0])
+                rows.append((t, uv, ur, level, visible))
+            rows = [r for r in rows if r[4].any()]
+            if not rows:
+                return
+            K = sh.bucket_select(len(rows), 1, sh.fuse_targets_cap)
+            frames = {r[0]: self.map.kf_frame[r[0]] for r in rows}
+
         uvs, urs, lvls, viss = [], [], [], []
         kuv, koct, kur, kdesc, kval = [], [], [], [], []
         no_vis = np.zeros(P, bool)
         for i in range(K):
             t, uv, ur, level, visible = rows[i if i < len(rows) else 0]
-            f = self.map.kf_frame[t]
+            f = frames[t]
             kuv.append(f.dev.uv)
             koct.append(f.dev.octave)
             kur.append(f.dev.u_right)
@@ -573,38 +677,49 @@ class LocalMapper:
             viss.append(padto(visible) if i < len(rows) else no_vis)
         best = np.asarray(
             self._jit_fuse_batch(
-                jnp.stack(kuv), jnp.stack(koct), jnp.stack(kur),
-                jnp.stack(kdesc), jnp.stack(kval),
-                jnp.asarray(np.stack(uvs)), jnp.asarray(np.stack(urs)),
-                jnp.asarray(np.stack(lvls)), jnp.asarray(padto(desc)),
-                jnp.asarray(np.stack(viss)),
+                tuple(kuv), tuple(koct), tuple(kur),
+                tuple(kdesc), tuple(kval),
+                tuple(uvs), tuple(urs), tuple(lvls), padto(desc),
+                tuple(viss),
             )
         )
-        for i, (t, _, _, _, _) in enumerate(rows):
-            self._apply_fuse_matches(t, pids, best[i])
+        with self.lock:
+            for i, (t, _, _, _, _) in enumerate(rows):
+                if t in self.map.kf_valid:
+                    self._apply_fuse_matches(t, pids, best[i])
 
     def _fuse_into(self, kf: int, pids):
         pids = np.asarray(pids, np.int64)
         if pids.size == 0:
             return
-        f = self.map.kf_frame[kf]
-        # host-side frustum gates (cheap numpy), device for the matching
-        tp = self.map.kf_point[kf]
-        pids = pids[~np.isin(pids, tp[tp >= 0])]
-        if pids.size == 0:
-            return
-        pos, desc, normal, dmin, dmax = self.map.points_array(pids)
-        uv, ur, level, visible = self._project_for_fuse(
-            kf, pos, normal, dmin, dmax
-        )
-        if not visible.any():
-            return
+        sh = self.shapes
+        with self.lock:
+            if kf not in self.map.kf_valid:
+                return
+            f = self.map.kf_frame[kf]
+            # host-side frustum gates (cheap numpy), device for the matching
+            tp = self.map.kf_point[kf]
+            pids = pids[~np.isin(pids, tp[tp >= 0])]
+            if pids.size == 0:
+                return
+            pos, desc, normal, dmin, dmax = self.map.points_array(pids)
+            uv, ur, level, visible = self._project_for_fuse(
+                kf, pos, normal, dmin, dmax
+            )
+            if not visible.any():
+                return
+            # only frustum-visible rows go to the device (bounds the fixed
+            # bucket; invisible rows could never match anyway)
+            sel = np.nonzero(visible)[0]
+            cap = sh.bucket_select(len(sel), 256, sh.fuse_pt_cap)
+            if len(sel) > cap:
+                sel = sel[:cap]  # overflow returns on a later keyframe
+            pids, uv, ur, level = pids[sel], uv[sel], ur[sel], level[sel]
+            desc, visible = desc[sel], visible[sel]
+            P = sh.bucket(len(pids), 256, sh.fuse_pt_cap)
 
-        P = 1 << int(np.ceil(np.log2(max(len(pids), 256))))
         def padto(a, fill=0):
-            out = np.full((P,) + a.shape[1:], fill, a.dtype)
-            out[: len(a)] = a
-            return out
+            return shapes_mod.pad_rows(a, P, fill)
 
         best_idx, best_dist = self._jit_fuse(
             f.dev.uv, f.dev.octave, f.dev.u_right,
@@ -615,7 +730,10 @@ class LocalMapper:
             jnp.asarray(padto(desc)),
             jnp.asarray(padto(visible)),
         )
-        self._apply_fuse_matches(kf, pids, np.asarray(best_idx))
+        best_idx = np.asarray(best_idx)
+        with self.lock:
+            if kf in self.map.kf_valid:
+                self._apply_fuse_matches(kf, pids, best_idx)
 
     # -------------------------------------------------------------------
 
@@ -633,9 +751,10 @@ class LocalMapper:
         # iterations; on abort the partial estimate is still written back
         res = ba.ba_solve_pm_interruptible(
             prob, self.cam, should_abort=lambda: self._abort_ba,
-            sync_every=2,  # abort latency vs sync cost: each sync is a
-            # full tunnel round trip, but the tracker's KF-insert path
-            # (InterruptBA) must still preempt within ~2 LM iterations
+            sync_every=5,  # abort latency vs sync cost: each sync is a
+            # full tunnel round trip (~25 ms measured r3); at the small
+            # BA tier 5 LM iterations are ~20 ms of device time, so the
+            # tracker's InterruptBA still preempts within a frame period
         )
         with self.lock:
             apply_pm_result(self.map, res, meta)
@@ -660,7 +779,7 @@ class LocalMapper:
 
         return assemble_pm_problem(
             self.map, self.frontend, all_kfs, pts, kf_index, pt_index,
-            local_kfs,
+            local_kfs, shapes=self.shapes,
         )
 
     # -------------------------------------------------------------------

@@ -32,7 +32,12 @@ COVIS_CONSISTENCY_TH = 3  # reference mnCovisibilityConsistencyTh (LoopClosing.c
 MIN_LOOP_GAP = 10  # don't look for loops right after the last one (:97-103)
 
 
-def _np_sim3(S: sim3_mod.Sim3):
+def _np_sim3(S):
+    """Fetch a device Sim3 to host numpy (R, t, s). Numpy tuples pass
+    through — loop-closing keeps Sim3s host-side as numpy to avoid eager
+    3x3 device dispatches over the tunnel (each is a full round trip)."""
+    if isinstance(S, tuple):
+        return S
     S = jax.device_get(S)  # one batched fetch
     return S.R, S.t, float(S.s)
 
@@ -49,6 +54,7 @@ class LoopCloser:
         mesh=None,
     ):
         self.config = config
+        self.shapes = config.shapes
         self.frontend = frontend
         self.map = slam_map
         self.lock = slam_map.lock  # map-update lock (mMutexMapUpdate)
@@ -72,7 +78,13 @@ class LoopCloser:
         #: write-back that moves the current region's poses, so the tracker
         #: can re-anchor its motion-model state (Tracker.apply_pose_jump)
         self.on_pose_jump = None
-        self._key = jax.random.PRNGKey(7)
+        # pre-split RANSAC key pool: jax.random.split is an EAGER device
+        # op (a tunnel dispatch + compile per call site); one batched
+        # split at init serves the whole run
+        self._keys = list(jax.device_get(
+            jax.random.split(jax.random.PRNGKey(7), 4096)
+        ))
+        self._key_i = 0
 
         self._jit_ransac = jax.jit(
             sim3solve.sim3_ransac, static_argnames=("fix_scale", "n_hyp")
@@ -89,6 +101,12 @@ class LoopCloser:
         self._Scw: Optional[sim3_mod.Sim3] = None  # corrected Sim3 world->cur
         self._loop_points: List[int] = []
         self._matched_points: Dict[int, int] = {}  # cur feature idx -> loop pid
+        #: one record per Sim3 candidate attempt: which gate rejected and
+        #: the counts at each stage (n_bow / ransac / opt / projection vs
+        #: the reference's 20/20/40 gates, LoopClosing.cpp:218-385) — the
+        #: bench writes these to LOOP_TRACE.json so an on-chip run that
+        #: closes no loops is diagnosable from the artifact
+        self.rejections: List[Dict] = []
 
     # ------------------------------------------------------------------
 
@@ -198,21 +216,29 @@ class LoopCloser:
         """One candidate of the reference's ComputeSim3 loop (LoopClosing.
         cpp:218-385). Host map reads hold the map lock; the Sim3 RANSAC
         and LM refinement device solves run unlocked (the tracker keeps
-        framing)."""
+        framing). Correspondence arrays are padded to the shape policy's
+        sim3 bucket so the jitted solvers see ONE shape."""
         cam = self.config.camera
         sigma2 = self.frontend.level_sigma2
+        sh = self.shapes
+
+        def reject(stage, **counts):
+            self.rejections.append(
+                dict(kf=kf, cand=cand, stage=stage, **counts)
+            )
+            return False
 
         with self.lock:
             if cand not in self.map.kf_valid or kf not in self.map.kf_valid:
-                return False
+                return reject("kf_culled")
             f1 = self.map.kf_frame[kf]
             T1 = self.map.kf_pose[kf].astype(np.float64)
             p1 = self.map.kf_point[kf]
             matches = self._bow_match_points(kf, cand)
             if len(matches) < 20:
-                return False
+                return reject("bow_matches", n_bow=len(matches))
             idxs = sorted(matches)
-            N = len(idxs)
+            N = sh.bucket(len(idxs), 256, sh.sim3_cap)
             X1 = np.zeros((N, 3), np.float32)
             X2 = np.zeros((N, 3), np.float32)
             uv1 = np.zeros((N, 2), np.float32)
@@ -242,9 +268,11 @@ class LoopCloser:
             valid = np.zeros(N, bool)
             valid[ok_rows] = True
             if valid.sum() < 20:
-                return False
+                return reject("valid_pairs", n_bow=len(matches),
+                              n_valid=int(valid.sum()))
 
-        self._key, sub = jax.random.split(self._key)
+        sub = self._keys[self._key_i % len(self._keys)]
+        self._key_i += 1
         with self._span("Sim3 computation"):
             res = self._jit_ransac(
                 sub, jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1),
@@ -254,15 +282,19 @@ class LoopCloser:
             )
             n_inl_ransac = int(res.n_inliers)
         if n_inl_ransac < 20:
-            return False
+            return reject("ransac", n_bow=len(matches),
+                          n_ransac=n_inl_ransac)
 
-            # guided Sim3 matching (reference SearchBySim3, ORBmatcher.cpp:
-            # 948-1171): project each keyframe's points into the other under
-            # the RANSAC Sim3, keep mutually-agreeing new pairs, and extend
-            # the correspondence set before the refinement.
+        # guided Sim3 matching (reference SearchBySim3, ORBmatcher.cpp:
+        # 948-1171): project each keyframe's points into the other under
+        # the RANSAC Sim3, keep mutually-agreeing new pairs, and extend
+        # the correspondence set before the refinement. The projection
+        # searches manage the lock internally (device solves unlocked).
+        extra = self._search_by_sim3(kf, cand, res.S12)
+        add_rows = []
         with self.lock:
-            extra = self._search_by_sim3(kf, cand, res.S12)
-            add_rows = []
+            if cand not in self.map.kf_valid or kf not in self.map.kf_valid:
+                return reject("kf_culled")
             for i1, pid2 in extra.items():
                 if i1 in matches or pid2 not in self.map.pt_valid:
                     continue
@@ -279,53 +311,66 @@ class LoopCloser:
                     f1.uv[i1], f2.uv[i2],
                     9.21 * sigma2[f1.octave[i1]], 9.21 * sigma2[f2.octave[i2]],
                 ))
-        if add_rows:
-            # pad the extension to a power-of-two bucket so the
-            # jitted Sim3 refinement sees few distinct shapes
-            n_add = len(add_rows)
-            B = 1 << int(np.ceil(np.log2(max(n_add, 64))))
+        # re-pack base + extension rows into ONE bucket-padded set (the
+        # refinement then compiles for a single shape)
+        base_rows = np.nonzero(valid)[0]
+        n_total = len(base_rows) + len(add_rows)
+        B = sh.bucket(n_total, 256, sh.sim3_cap)
 
-            def bucket(rows, width=None):
-                a = np.stack(rows).astype(np.float32) if width else np.array(rows, np.float32)
-                out = np.zeros((B,) + a.shape[1:], np.float32)
-                out[:n_add] = a
-                return out
+        def repack(base_a, add_vals, width):
+            out = np.zeros((B, width) if width > 1 else (B,), np.float32)
+            nb = len(base_rows)
+            out[:nb] = base_a[base_rows]
+            if add_vals:
+                out[nb : nb + len(add_vals)] = np.asarray(add_vals, np.float32)
+            return out
 
-            X1 = np.concatenate([X1, bucket([r[0] for r in add_rows], 3)])
-            X2 = np.concatenate([X2, bucket([r[1] for r in add_rows], 3)])
-            uv1 = np.concatenate([uv1, bucket([r[2] for r in add_rows], 2)])
-            uv2 = np.concatenate([uv2, bucket([r[3] for r in add_rows], 2)])
-            me1 = np.concatenate([me1, bucket([r[4] for r in add_rows])])
-            me2 = np.concatenate([me2, bucket([r[5] for r in add_rows])])
-            ext_valid = np.zeros(B, bool)
-            ext_valid[:n_add] = True
-            valid = np.concatenate([valid, ext_valid])
-            inl_pad = np.concatenate([np.asarray(res.inliers), ext_valid])
-        else:
-            inl_pad = np.asarray(res.inliers)
+        inl_base = np.asarray(res.inliers)
+        X1 = repack(X1, [r[0] for r in add_rows], 3)
+        X2 = repack(X2, [r[1] for r in add_rows], 3)
+        uv1 = repack(uv1, [r[2] for r in add_rows], 2)
+        uv2 = repack(uv2, [r[3] for r in add_rows], 2)
+        me1 = repack(me1, [r[4] for r in add_rows], 1)
+        me2 = repack(me2, [r[5] for r in add_rows], 1)
+        valid = np.zeros(B, bool)
+        valid[:n_total] = True
+        inl_pad = np.zeros(B, bool)
+        inl_pad[: len(base_rows)] = inl_base[base_rows]
+        inl_pad[len(base_rows) : n_total] = True
 
+        # both edge directions carry their own information weight
+        # (reference OptimizeSim3 sets invSigmaSquare per direction,
+        # Optimizer.cpp:1100-1150): w = 9.21/(9.21*sigma2) = 1/sigma2
         S12, inl, n_inl = self._jit_opt_sim3(
             res.S12, jnp.asarray(X1), jnp.asarray(X2),
             jnp.asarray(uv1), jnp.asarray(uv2),
             jnp.asarray(
                 (9.21 / np.where(me1 > 0, me1, 9.21)).astype(np.float32)
             ),
-            jnp.ones(len(valid), jnp.float32),
+            jnp.asarray(
+                (9.21 / np.where(me2 > 0, me2, 9.21)).astype(np.float32)
+            ),
             jnp.asarray(valid & inl_pad),
             self.frontend.camera,
             fix_scale=self.fix_scale,
         )
         if int(n_inl) < 20:
-            return False
+            return reject("sim3_opt", n_bow=len(matches),
+                          n_ransac=n_inl_ransac, n_opt=int(n_inl))
 
-        # Scw = S1,2 ∘ S2,w  (corrected world->current)
-        R2 = jnp.asarray(T2[:3, :3].astype(np.float32))
-        t2 = jnp.asarray(T2[:3, 3].astype(np.float32))
-        S2w = sim3_mod.Sim3(R=R2, t=t2, s=jnp.asarray(1.0, jnp.float32))
-        Scw = sim3_mod.compose(S12, S2w)
+        # Scw = S1,2 ∘ S2,w  (corrected world->current) — composed on the
+        # host in numpy (eager 3x3 device ops are tunnel round trips)
+        R12n, t12n, s12n = _np_sim3(S12)
+        Scw = (
+            R12n.astype(np.float64) @ T2[:3, :3],
+            s12n * (R12n.astype(np.float64) @ T2[:3, 3]) + t12n,
+            float(s12n),
+        )
 
         # gather loop-region points and verify by projection (>=40)
         with self.lock:
+            if cand not in self.map.kf_valid or kf not in self.map.kf_valid:
+                return reject("kf_culled")
             group = [
                 k
                 for k in [cand] + self.map.covisible_keyframes(cand)
@@ -335,7 +380,7 @@ class LoopCloser:
                 np.concatenate([self.map.kf_point[k] for k in group])
             )
             loop_pts = [int(p) for p in ids[self.map.valid_mask(ids)]]
-            matched = self._search_by_sim3_projection(kf, Scw, loop_pts, th=10.0)
+        matched = self._search_by_sim3_projection(kf, Scw, loop_pts, th=10.0)
         total = len(matched)
         for i, pid in matches.items():
             if i not in matched:
@@ -348,7 +393,9 @@ class LoopCloser:
             for i, pid in matches.items():
                 self._matched_points.setdefault(i, pid)
             return True
-        return False
+        return reject("projection_total", n_bow=len(matches),
+                      n_ransac=n_inl_ransac, n_opt=int(n_inl),
+                      n_total=total)
 
     def _search_by_sim3(self, kf1: int, kf2: int, S12) -> Dict[int, int]:
         """Mutual Sim3 projection matching between two keyframes' map
@@ -356,8 +403,15 @@ class LoopCloser:
         into kf1 under S12 and vice versa; keep pairs both directions
         agree on. Returns kf1 feature idx -> kf2 point id."""
         m = self.map
-        T1 = m.kf_pose[kf1].astype(np.float64)
-        T2 = m.kf_pose[kf2].astype(np.float64)
+        with self.lock:
+            if kf1 not in m.kf_valid or kf2 not in m.kf_valid:
+                return {}
+            T1 = m.kf_pose[kf1].astype(np.float64)
+            T2 = m.kf_pose[kf2].astype(np.float64)
+            kp2 = m.kf_point[kf2]
+            kp1 = m.kf_point[kf1]
+            pids2 = kp2[m.valid_mask(kp2)]
+            pids1 = kp1[m.valid_mask(kp1)]
         R12, t12, s12 = _np_sim3(S12)
         # S1w = S12 ∘ S2w ; S2w' = S12^-1 ∘ S1w
         S1w = (R12 @ T2[:3, :3], s12 * (R12 @ T2[:3, 3]) + t12, s12)
@@ -366,17 +420,8 @@ class LoopCloser:
         S2w = (R21 @ T1[:3, :3], s21 * (R21 @ (T1[:3, 3] - t12)), s21)
 
         def project_points(kf_target, Sxw, pids):
-            S = sim3_mod.Sim3(
-                R=jnp.asarray(Sxw[0].astype(np.float32)),
-                t=jnp.asarray(Sxw[1].astype(np.float32)),
-                s=jnp.asarray(np.float32(Sxw[2])),
-            )
-            return self._search_by_sim3_projection(kf_target, S, pids, th=7.5)
+            return self._search_by_sim3_projection(kf_target, Sxw, pids, th=7.5)
 
-        kp2 = m.kf_point[kf2]
-        kp1 = m.kf_point[kf1]
-        pids2 = kp2[m.valid_mask(kp2)]
-        pids1 = kp1[m.valid_mask(kp1)]
         if pids1.size == 0 or pids2.size == 0:
             return {}
         m12 = project_points(kf1, S1w, pids2)  # kf1 feat -> kf2 pid
@@ -384,31 +429,44 @@ class LoopCloser:
         # mutual agreement: kf1 feat i (point pid1) matched to pid2 whose
         # kf2 feature matched back to pid1
         out = {}
-        kf1_pts = m.kf_point[kf1]
-        for i1, pid2 in m12.items():
-            pid1 = int(kf1_pts[i1]) if i1 < len(kf1_pts) else -1
-            if pid1 < 0:
-                continue
-            i2 = m.pt_obs.get(pid2, {}).get(kf2)
-            if i2 is None:
-                continue
-            if m21.get(int(i2)) == pid1:
-                out[int(i1)] = int(pid2)
+        with self.lock:
+            if kf1 not in m.kf_valid or kf2 not in m.kf_valid:
+                return {}
+            kf1_pts = m.kf_point[kf1]
+            for i1, pid2 in m12.items():
+                pid1 = int(kf1_pts[i1]) if i1 < len(kf1_pts) else -1
+                if pid1 < 0:
+                    continue
+                i2 = m.pt_obs.get(pid2, {}).get(kf2)
+                if i2 is None:
+                    continue
+                if m21.get(int(i2)) == pid1:
+                    out[int(i1)] = int(pid2)
         return out
 
     def _search_by_sim3_projection(
-        self, kf: int, Scw: sim3_mod.Sim3, pids: List[int], th: float
+        self, kf: int, Scw, pids: List[int], th: float
     ) -> Dict[int, int]:
         """Reference SearchByProjection(KF, Scw, points, ...) — project loop
         points into the keyframe under the Sim3 and match (ORBmatcher.cpp:
-        241-352). Returns feature idx -> pid."""
+        241-352). Returns feature idx -> pid. Host assembly holds the map
+        lock; the device match runs after releasing it (no-op when the
+        caller already holds the re-entrant lock, e.g. loop correction)."""
+        from . import shapes as shapes_mod
+
         pids = np.asarray(pids, np.int64)
         if pids.size == 0:
             return {}
-        f = self.map.kf_frame[kf]
         c = self.config.camera
         R, t, s = _np_sim3(Scw)
-        pos, desc, normal, dmin, dmax = self.map.points_array(pids)
+        with self.lock:
+            if kf not in self.map.kf_valid:
+                return {}
+            f = self.map.kf_frame[kf]
+            pids = pids[self.map.valid_mask(pids)]
+            if pids.size == 0:
+                return {}
+            pos, desc, normal, dmin, dmax = self.map.points_array(pids)
         pc = (pos.astype(np.float64) @ R.T) * s + t
         z = pc[:, 2]
         zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
@@ -432,11 +490,17 @@ class LoopCloser:
             0, self.map.n_levels - 1,
         ).astype(np.int32)
 
-        P = 1 << int(np.ceil(np.log2(max(len(pids), 256))))
+        # only frustum-visible rows go to the device (bounds the bucket)
+        sel = np.nonzero(visible)[0]
+        cap = self.shapes.bucket_select(len(sel), 256, self.shapes.fuse_pt_cap)
+        if len(sel) > cap:
+            sel = sel[:cap]
+        pids, u, v, level = pids[sel], u[sel], v[sel], level[sel]
+        desc, visible = desc[sel], visible[sel]
+        P = self.shapes.bucket(len(pids), 256, self.shapes.fuse_pt_cap)
+
         def padto(a, fill=0):
-            out = np.full((P,) + a.shape[1:], fill, a.dtype)
-            out[: len(a)] = a
-            return out
+            return shapes_mod.pad_rows(a, P, fill)
 
         ur_dummy = np.full(P, -1.0, np.float32)
         best_idx, best_dist = self._jit_fuse_match(
@@ -477,16 +541,19 @@ class LoopCloser:
             # correction rewrites poses/points
             self.local_mapper.request_stop()
             self.local_mapper.wait_stopped()
-        with self.lock:
-            pg_args = self._correct_loop_locked(kf)
-        with self._span("Essential graph"):
-            self._optimize_essential_graph(kf, *pg_args)
+        try:
+            with self.lock:
+                pg_args = self._correct_loop_locked(kf)
+            with self._span("Essential graph"):
+                self._optimize_essential_graph(kf, *pg_args)
 
-        with self._span("Global BA"):
-            self._global_ba(kf)
-
-        if self.local_mapper is not None:
-            self.local_mapper.release()
+            with self._span("Global BA"):
+                self._global_ba(kf)
+        finally:
+            # release unconditionally: a timeout/error escaping mid-
+            # correction must not leave the mapper parked forever
+            if self.local_mapper is not None:
+                self.local_mapper.release()
         self.last_loop_kf = kf
         with self.lock:
             m.big_change_idx += 1  # MapChanged() (reference Map.cpp:42-52)
@@ -556,13 +623,9 @@ class LoopCloser:
         old_neighbors = {ki: set(m.covisible_keyframes(ki)) for ki in current_group}
         for ki in current_group:
             Rc, tc, sc = corrected[ki]
-            S = sim3_mod.Sim3(
-                R=jnp.asarray(Rc.astype(np.float32)),
-                t=jnp.asarray(tc.astype(np.float32)),
-                s=jnp.asarray(np.float32(sc)),
-            )
             matched = self._search_by_sim3_projection(
-                ki, S, [p for p in self._loop_points if p in m.pt_valid], th=4.0
+                ki, (Rc, tc, sc),
+                [p for p in self._loop_points if p in m.pt_valid], th=4.0
             )
             kf_pids = m.kf_point[ki]
             for fi, pid in matched.items():
@@ -693,23 +756,40 @@ class LoopCloser:
         if not edges:
             return
         E = len(edges)
-        ei = np.array([e[0] for e in edges], np.int32)
-        ej = np.array([e[1] for e in edges], np.int32)
-        mR = np.stack([e[2] for e in edges]).astype(np.float32)
-        mt = np.stack([e[3] for e in edges]).astype(np.float32)
-        ms = np.array([e[4] for e in edges], np.float32)
+        # pad vertices/edges to the shape-policy buckets (padding vertices
+        # are fixed identities; padding edges carry edge_valid=False) so
+        # the jitted solver sees few distinct shapes across loop events
+        sh = self.shapes
+        Kp = sh.bucket(K, 16, sh.pg_k_cap)
+        Ep = sh.bucket(E, 64, sh.pg_e_cap)
+        Rvp = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
+        tvp = np.zeros((Kp, 3), np.float32)
+        svp = np.ones(Kp, np.float32)
+        Rvp[:K], tvp[:K], svp[:K] = Rv, tv, sv
+        ei = np.zeros(Ep, np.int32)
+        ej = np.zeros(Ep, np.int32)
+        mR = np.tile(np.eye(3, dtype=np.float32), (Ep, 1, 1))
+        mt = np.zeros((Ep, 3), np.float32)
+        ms = np.ones(Ep, np.float32)
+        ei[:E] = [e[0] for e in edges]
+        ej[:E] = [e[1] for e in edges]
+        mR[:E] = np.stack([e[2] for e in edges]).astype(np.float32)
+        mt[:E] = np.stack([e[3] for e in edges]).astype(np.float32)
+        ms[:E] = [e[4] for e in edges]
+        fixed = np.ones(Kp, bool)
+        fixed[:K] = np.array([k == self._matched_kf for k in kfs])
+        evalid = np.zeros(Ep, bool)
+        evalid[:E] = True
 
         prob = posegraph.PoseGraphProblem(
             vertices=sim3_mod.Sim3(
-                R=jnp.asarray(Rv), t=jnp.asarray(tv), s=jnp.asarray(sv)
+                R=jnp.asarray(Rvp), t=jnp.asarray(tvp), s=jnp.asarray(svp)
             ),
             edge_i=jnp.asarray(ei),
             edge_j=jnp.asarray(ej),
             meas=sim3_mod.Sim3(R=jnp.asarray(mR), t=jnp.asarray(mt), s=jnp.asarray(ms)),
-            edge_valid=jnp.ones(E, bool),
-            fixed=jnp.asarray(
-                np.array([k == self._matched_kf for k in kfs])
-            ),
+            edge_valid=jnp.asarray(evalid),
+            fixed=jnp.asarray(fixed),
         )
         if self.mesh is not None:
             from ..parallel import dist_posegraph
@@ -789,7 +869,8 @@ class LoopCloser:
             kf_index = {k: i for i, k in enumerate(kfs)}
             pt_index = {p: i for i, p in enumerate(pts)}
             prob, meta = assemble_pm_problem(
-                m, self.frontend, kfs, pts, kf_index, pt_index, kfs
+                m, self.frontend, kfs, pts, kf_index, pt_index, kfs,
+                shapes=self.shapes,
             )
         if prob is None:
             return

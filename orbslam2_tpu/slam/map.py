@@ -126,7 +126,9 @@ class SlamMap:
         self.kf_point: Dict[int, np.ndarray] = {}  # [N] point id per kp (-1)
         self.kf_frame_id: Dict[int, int] = {}
         self.kf_timestamp: Dict[int, float] = {}
-        self.kf_valid: Set[int] = set()
+        #: IdSet: set API plus vectorized membership (`mask_of`) for the
+        #: hot covisibility passes
+        self.kf_valid = IdSet(256)
         self._next_kf = 0
 
         # local map points for drawing (reference Map::SetReferenceMapPoints,
@@ -157,6 +159,13 @@ class SlamMap:
         # n_observations() is O(1) and vectorizable
         self.pt_nobs = np.zeros(cap, np.int64)
         self.pt_obs: Dict[int, Dict[int, int]] = {}  # pid -> {kf: feat_idx}
+        # dense mirror of pt_obs for vectorized passes (covisibility votes,
+        # BA assembly, connection updates): per point a compacted row of
+        # (kf id, feature idx) pairs; column count doubles on demand.
+        # The dicts above remain the source of truth for scalar lookups.
+        self.pt_obs_kf = np.full((cap, 16), -1, np.int32)
+        self.pt_obs_idx = np.full((cap, 16), -1, np.int32)
+        self.pt_obs_n = np.zeros(cap, np.int32)
         self.pt_valid = IdSet(cap)
         self.pt_replaced: Dict[int, int] = {}  # pid -> replacement pid
         self._next_pt = 0
@@ -208,6 +217,9 @@ class SlamMap:
         self.pt_visible = grow(self.pt_visible)
         self.pt_found = grow(self.pt_found)
         self.pt_nobs = grow(self.pt_nobs)
+        self.pt_obs_kf = grow(self.pt_obs_kf, -1)
+        self.pt_obs_idx = grow(self.pt_obs_idx, -1)
+        self.pt_obs_n = grow(self.pt_obs_n)
 
     def _alloc_points(self, n: int) -> int:
         """Reserve n fresh contiguous point ids; returns the base id."""
@@ -261,21 +273,24 @@ class SlamMap:
 
     def update_connections(self, kf: int):
         """Recount shared points -> covisibility weights; maintain spanning
-        tree parent (reference KeyFrame::UpdateConnections)."""
-        counter: Dict[int, int] = {}
+        tree parent (reference KeyFrame::UpdateConnections). One bincount
+        over the dense observation mirror replaces the per-point dict walk
+        (O(points x observations) python in the reference-layout version)."""
         pids = self.kf_point[kf]
-        ok = self.valid_mask(pids)
-        for pid in pids[ok]:
-            for okf in self.pt_obs[int(pid)]:
-                if okf != kf and okf in self.kf_valid:
-                    counter[okf] = counter.get(okf, 0) + 1
-        if not counter:
+        ids = pids[self.valid_mask(pids)]
+        if ids.size == 0:
             return
-        best_kf = max(counter, key=counter.get)
-        best_w = counter[best_kf]
-        new_edges = {
-            okf: w for okf, w in counter.items() if w >= COVIS_THRESHOLD
-        }
+        rows = self.pt_obs_kf[ids]  # [M, D] kf ids, -1 empty
+        flat = rows[rows >= 0]
+        flat = flat[flat != kf]
+        flat = flat[self.kf_valid.mask_of(flat)]
+        if flat.size == 0:
+            return
+        counts = np.bincount(flat)
+        best_kf = int(np.argmax(counts))
+        best_w = int(counts[best_kf])
+        cand = np.nonzero(counts >= COVIS_THRESHOLD)[0]
+        new_edges = {int(c): int(counts[c]) for c in cand}
         if not new_edges:
             new_edges = {best_kf: best_w}
         # remove stale edges pointing at kf
@@ -356,6 +371,10 @@ class SlamMap:
         self.pt_nobs[pids] = np.where(f.u_right[idxs] >= 0, 2, 1)
         for j in range(n):
             self.pt_obs[base + j] = {kf: int(idxs[j])}
+        # dense mirror (rows are freshly allocated, already -1)
+        self.pt_obs_kf[pids, 0] = kf
+        self.pt_obs_idx[pids, 0] = idxs
+        self.pt_obs_n[pids] = 1
         self.kf_point[kf][idxs] = pids
         return pids
 
@@ -363,14 +382,69 @@ class SlamMap:
         """Stereo observations count double (reference MapPoint.cpp:83-86)."""
         return 2 if self.kf_frame[kf].u_right[idx] >= 0 else 1
 
+    # ---- pt_obs dense mirror maintenance (kept in lockstep with the
+    # pt_obs dicts; consumers: vectorized covisibility votes, connection
+    # updates, BA assembly) ----
+
+    def _grow_obs_cols(self):
+        cap, D = self.pt_obs_kf.shape
+        new_kf = np.full((cap, 2 * D), -1, np.int32)
+        new_idx = np.full((cap, 2 * D), -1, np.int32)
+        new_kf[:, :D] = self.pt_obs_kf
+        new_idx[:, :D] = self.pt_obs_idx
+        self.pt_obs_kf = new_kf
+        self.pt_obs_idx = new_idx
+
+    def _obs_set(self, pid: int, kf: int, idx: int):
+        n = int(self.pt_obs_n[pid])
+        hit = np.nonzero(self.pt_obs_kf[pid, :n] == kf)[0]
+        if hit.size:
+            self.pt_obs_idx[pid, hit[0]] = idx
+            return
+        if n == self.pt_obs_kf.shape[1]:
+            self._grow_obs_cols()
+        self.pt_obs_kf[pid, n] = kf
+        self.pt_obs_idx[pid, n] = idx
+        self.pt_obs_n[pid] = n + 1
+
+    def _obs_del(self, pid: int, kf: int):
+        n = int(self.pt_obs_n[pid])
+        hit = np.nonzero(self.pt_obs_kf[pid, :n] == kf)[0]
+        if not hit.size:
+            return
+        j, last = int(hit[0]), n - 1
+        self.pt_obs_kf[pid, j] = self.pt_obs_kf[pid, last]
+        self.pt_obs_idx[pid, j] = self.pt_obs_idx[pid, last]
+        self.pt_obs_kf[pid, last] = -1
+        self.pt_obs_idx[pid, last] = -1
+        self.pt_obs_n[pid] = last
+
+    def _obs_clear(self, pid: int):
+        n = int(self.pt_obs_n[pid])
+        self.pt_obs_kf[pid, :n] = -1
+        self.pt_obs_idx[pid, :n] = -1
+        self.pt_obs_n[pid] = 0
+
+    def rebuild_obs_mirror(self):
+        """Re-derive the dense mirror from the pt_obs dicts (checkpoint
+        restore path)."""
+        self.pt_obs_kf[:] = -1
+        self.pt_obs_idx[:] = -1
+        self.pt_obs_n[:] = 0
+        for pid, obs in self.pt_obs.items():
+            for kf, idx in obs.items():
+                self._obs_set(pid, kf, idx)
+
     def add_observation(self, pid: int, kf: int, idx: int):
         if kf not in self.pt_obs[pid]:
             self.pt_nobs[pid] += self._obs_weight(kf, idx)
         self.pt_obs[pid][kf] = idx
+        self._obs_set(pid, kf, idx)
         self.kf_point[kf][idx] = pid
 
     def erase_observation(self, pid: int, kf: int):
         idx = self.pt_obs[pid].pop(kf, None)
+        self._obs_del(pid, kf)
         if idx is not None:
             if kf in self.kf_valid:
                 self.pt_nobs[pid] -= self._obs_weight(kf, idx)
@@ -391,6 +465,7 @@ class SlamMap:
             if kf in self.kf_point and self.kf_point[kf][idx] == pid:
                 self.kf_point[kf][idx] = -1
         self.pt_obs[pid] = {}
+        self._obs_clear(pid)
         self.pt_nobs[pid] = 0
         self.pt_valid.discard(pid)
 
@@ -407,10 +482,14 @@ class SlamMap:
         self.pt_found[by] += self.pt_found[pid]
         self.pt_visible[by] += self.pt_visible[pid]
         self.pt_obs[pid] = {}
+        self._obs_clear(pid)
         self.pt_nobs[pid] = 0
         self.pt_valid.discard(pid)
         self.pt_replaced[pid] = by
         self.compute_distinctive_descriptor(by)
+        # the survivor's descriptor changed: invalidate device-resident
+        # candidate caches keyed on `version` (cache contract, tracking.py)
+        self.version += 1
 
     def resolve_replaced(self, pid: int) -> int:
         seen = set()
@@ -433,6 +512,7 @@ class SlamMap:
         dists = hamming_np(D[:, None, :], D[None, :, :])
         medians = np.median(dists, axis=1)
         self.pt_desc[pid] = D[int(np.argmin(medians))]
+        self.version += 1
 
     def update_normal_and_depth(self, pid: int):
         """Reference MapPoint.cpp:341-399."""
@@ -458,6 +538,7 @@ class SlamMap:
         level = int(self.kf_frame[ref].octave[idx]) if idx is not None else 0
         self.pt_max_dist[pid] = dist * self.scale_factors[level]
         self.pt_min_dist[pid] = self.pt_max_dist[pid] / self.scale_factors[-1]
+        self.version += 1
 
     # ---- batched variants of the per-point maintenance methods: the
     # per-keyframe pipeline touches hundreds-to-thousands of points per
@@ -601,6 +682,7 @@ class SlamMap:
                 obs = self.pt_obs[pid]
                 if obs.get(kf) == idx:
                     obs.pop(kf, None)
+                    self._obs_del(pid, kf)
                     self.pt_nobs[pid] -= self._obs_weight(kf, idx)
                     if self.pt_ref_kf[pid] == kf and obs:
                         self.pt_ref_kf[pid] = next(iter(obs))

@@ -36,11 +36,19 @@ class Relocalizer:
         self.vocab = vocab
         self.solver = solver
         self.database = KeyFrameDatabase(vocab.n_words)
-        self._key = jax.random.PRNGKey(42)
+        # pre-split key pool (jax.random.split is an eager device
+        # dispatch — a tunnel round trip per relocalization otherwise)
+        self._keys = list(jax.device_get(
+            jax.random.split(jax.random.PRNGKey(42), 4096)
+        ))
+        self._key_i = 0
 
+        # device: tree descent -> word ids; host: sparse tf-idf vector
+        # (the dense [n_words] vector does not scale to ORBvoc's 1M words)
         self._jit_transform = jax.jit(
-            lambda d, v: bow_mod.transform_jit(vocab, d, v)
+            lambda d, v: bow_mod.transform_words(vocab, d, v)
         )
+        self._word_weight_np = np.asarray(vocab.word_weight)
         self._jit_ransac = jax.jit(pnp.pnp_ransac, static_argnames=("n_hyp",))
         from ..ops import mlpnp as mlpnp_mod
 
@@ -58,12 +66,51 @@ class Relocalizer:
             matchers.search_by_projection_frame, static_argnames=("check_rotation",)
         )
 
+        # ---- batched relocalization core: ALL candidates' BoW matching +
+        # hypothesis-parallel EPnP RANSAC as ONE device program (the
+        # reference interleaves per-candidate RANSACs on the host,
+        # Tracking.cpp:1239-1334 / SURVEY P4; round-2 postmortem measured
+        # the per-candidate dispatch chain at 1.0 s mean per reloc event)
+        def _reloc_body(fdesc, fvalid, fangle, kf_desc, kf_has, kf_ang,
+                        pw, obs_n, max_err2, keys):
+            N = fvalid.shape[0]
+
+            def per_cand(desc_c, has_c, ang_c, pw_c, key):
+                idx, best, keep = matchers.search_by_bow(
+                    desc_c, has_c, ang_c, fdesc, fvalid, fangle, 0.75
+                )
+                # resolve frame-keypoint collisions on device (best
+                # distance wins — the host argsort loop of the sequential
+                # path, vectorized)
+                src, _ = matchers._resolve_collisions(
+                    idx, jnp.where(keep, best, hamming.MAX_DIST), N
+                )
+                hit = src >= 0
+                choice = matchers._choice_matrix(
+                    jnp.clip(src, 0, N - 1).astype(jnp.int32), N
+                )
+                pw_kp = jnp.einsum(
+                    "sn,nd->sd", choice.astype(jnp.float32),
+                    pw_c.astype(jnp.float32), precision="highest",
+                )
+                res = pnp.pnp_ransac(key, pw_kp, obs_n, hit, max_err2)
+                return (
+                    src, hit, jnp.sum(hit), res.R, res.t,
+                    res.inliers, res.n_inliers,
+                )
+
+            return jax.vmap(per_cand)(kf_desc, kf_has, kf_ang, pw, keys)
+
+        self._jit_reloc_batch = jax.jit(_reloc_body)
+
     # ------------------------------------------------------------------
 
     def compute_bow(self, desc: np.ndarray, valid: np.ndarray):
-        return jax.device_get(  # one batched fetch
+        """Returns (per-descriptor word ids [N], sparse (wid, weight))."""
+        words = np.asarray(
             self._jit_transform(jnp.asarray(desc), jnp.asarray(valid))
         )
+        return words, bow_mod.bow_sparse(words, self._word_weight_np)
 
     def add_keyframe(self, kf: int):
         f = self.map.kf_frame[kf]
@@ -82,7 +129,84 @@ class Relocalizer:
         )
         if not candidates:
             return False
+        if self.solver != "mlpnp":
+            return self._relocalize_batched(frame, candidates)
+        return self._relocalize_sequential(frame, candidates)
 
+    def _relocalize_batched(self, frame: FrameHost, candidates) -> bool:
+        """All candidates solved in ONE device program (BoW match +
+        hypothesis-parallel EPnP each), then the winner is refined with
+        pose optimization + the reference's two widening passes
+        (Tracking.cpp:1239-1334)."""
+        C = self.config.shapes.reloc_cands
+        cands = [kf for kf in candidates[:C] if kf in self.map.kf_valid]
+        if not cands:
+            return False
+        cam = self.config.camera
+        sigma2 = self.frontend.level_sigma2
+        N = len(frame.valid)
+        kf_desc = np.zeros((C, N, 8), np.uint32)
+        kf_has = np.zeros((C, N), bool)
+        kf_ang = np.zeros((C, N), np.float32)
+        pw = np.zeros((C, N, 3), np.float32)
+        kf_pids_all = np.full((C, N), -1, np.int64)
+        for c, kf in enumerate(cands):
+            kff = self.map.kf_frame[kf]
+            kf_pids = self.map.kf_point[kf]
+            has_pt = (kf_pids >= 0) & self.map.valid_mask(kf_pids)
+            kf_desc[c][has_pt] = self.map.pt_desc[kf_pids[has_pt]]
+            kf_has[c] = has_pt
+            kf_ang[c] = kff.angle
+            pw[c][has_pt] = self.map.pt_pos[kf_pids[has_pt]]
+            kf_pids_all[c][has_pt] = kf_pids[has_pt]
+        obs_n = np.stack(
+            [
+                (frame.uv[:, 0] - cam.cx) / cam.fx,
+                (frame.uv[:, 1] - cam.cy) / cam.fy,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        max_err2 = (
+            5.991 * sigma2[frame.octave] / (cam.fx * cam.fx)
+        ).astype(np.float32)
+        keys = np.stack(
+            [self._keys[(self._key_i + j) % len(self._keys)] for j in range(C)]
+        )
+        self._key_i += C
+        src, hit, n_bow, Rs, ts, inls, n_inls = jax.device_get(
+            self._jit_reloc_batch(
+                frame.dev.desc, frame.dev.valid, frame.dev.angle,
+                kf_desc, kf_has, kf_ang, pw, obs_n, max_err2, keys,
+            )
+        )
+        # best candidate first (reference tries candidates round-robin
+        # until one reaches 50 inliers; argsort by RANSAC support is the
+        # batched equivalent)
+        for c in np.argsort(-n_inls):
+            c = int(c)
+            if n_bow[c] < 15 or n_inls[c] < 10:
+                continue
+            Tcw = np.eye(4, dtype=np.float32)
+            Tcw[:3, :3] = Rs[c]
+            Tcw[:3, 3] = ts[c]
+            frame.Tcw = Tcw
+            sel = hit[c] & inls[c]
+            frame.point_ids[:] = np.where(
+                sel, kf_pids_all[c][np.clip(src[c], 0, N - 1)], -1
+            )
+            n_good = self._optimize(frame)
+            if n_good < 10:
+                continue
+            if n_good < 50:
+                n_good = self._widen(frame, cands[c], th=10.0, orb_dist=100)
+                if 30 <= n_good < 50:
+                    n_good = self._widen(frame, cands[c], th=3.0, orb_dist=64)
+            if n_good >= 50:
+                return True
+        return False
+
+    def _relocalize_sequential(self, frame: FrameHost, candidates) -> bool:
+        """Per-candidate path (MLPnP solver variant, BASELINE config 4)."""
         cam = self.config.camera
         sigma2 = self.frontend.level_sigma2
         for kf in candidates[:5]:
@@ -98,7 +222,8 @@ class Relocalizer:
             pw = np.zeros((N, 3), np.float32)
             valid = (pids >= 0) & self.map.valid_mask(pids)
             pw[valid] = self.map.pt_pos[pids[valid]]
-            self._key, sub = jax.random.split(self._key)
+            sub = self._keys[self._key_i % len(self._keys)]
+            self._key_i += 1
             if self.solver == "mlpnp":
                 bearings = self._mlpnp.bearings_from_pixels(
                     jnp.asarray(frame.uv), cam.fx, cam.fy, cam.cx, cam.cy
@@ -223,7 +348,8 @@ class Relocalizer:
         v = cam.fy * pc[:, 1] / zs + cam.cy
         proj_ok = (z > 0) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
 
-        P = 1 << int(np.ceil(np.log2(max(len(cand), 256))))
+        sh = self.config.shapes
+        P = sh.bucket(len(cand), 256, sh.fuse_src_cap)
         def padto(a, fill=0):
             out = np.full((P,) + a.shape[1:], fill, a.dtype)
             out[: len(a)] = a

@@ -299,6 +299,17 @@ class Tracker:
         #: device-resident local-candidate cache:
         #: (ids ascending np.int64, device arrays tuple, map version)
         self._cand_cache = None
+        #: pose-jump log: every loop-correction write-back appends its
+        #: delta D (Tcw_new = Tcw_old @ D). The fused step snapshots the
+        #: log length at assembly; if jumps landed while the device solve
+        #: ran unlocked, _apply_fused composes the missed deltas into the
+        #: solved pose so the frame enters the corrected world.
+        self._jump_log: List[np.ndarray] = []
+        #: pipelined tracking (config.pipelined_tracking): in-flight
+        #: dispatched frames awaiting host application. Entries:
+        #: (FrameHost, aux, host-output device handles, feature handles)
+        self.pipelined = bool(getattr(config, "pipelined_tracking", False))
+        self._pending: List[tuple] = []
 
     # ------------------------------------------------------------------
 
@@ -331,6 +342,8 @@ class Tracker:
             np.clip(np.rint(np.asarray(im_right)), 0, 255),
         ]).astype(np.uint8)
         if self._can_fuse():
+            if self.pipelined:
+                return self._track_pipelined(images_u8, timestamp)
             with self.map.lock:
                 args, aux = self._assemble_fused(images_u8)
             with self._span("Fused frame step"):
@@ -343,6 +356,7 @@ class Tracker:
             with self.map.lock:
                 self._track(frame, fused=(host, aux))
             return frame.Tcw if self.state == TrackingState.OK else None
+        self.flush_pipeline()
         # ORB extraction and stereo matching are ONE fused device program
         # (the reference times them separately, Frame.cpp:112-132; here the
         # fusion is the point — the span covers both)
@@ -355,6 +369,55 @@ class Tracker:
         with self.map.lock:
             self._track(frame)
         return frame.Tcw if self.state == TrackingState.OK else None
+
+    def _track_pipelined(self, images_u8, timestamp: float):
+        """Latency-hiding fused tracking: dispatch frame i's device step,
+        then apply frame i-1's results (its device work overlapped this
+        frame's host work and dispatch). The reference hides latency with
+        threads on a multicore CPU (SURVEY P1); on a single TPU chip the
+        the hideable latency is the device round trip, and one frame of
+        lag hides it exactly. Returns the motion-model PREDICTED pose for
+        the new frame (the trajectory records solved poses at apply time,
+        one frame later)."""
+        steps = 1 + len(self._pending)
+        with self.map.lock:
+            args, aux = self._assemble_fused(images_u8, pred_steps=steps)
+        feats, host_dev = self._jit_full_step(*args)  # async dispatch
+        frame = FrameHost(feats, timestamp, self.frame_id, eager=False)
+        self.frame_id += 1
+        self._pending.append((frame, aux, host_dev, feats))
+        while len(self._pending) > 1:
+            self._apply_one()
+        return np.asarray(aux["T_pred"])
+
+    def _apply_one(self):
+        """Apply the oldest in-flight frame's results (blocks on the
+        device only if it hasn't finished yet)."""
+        frame, aux, host_dev, feats = self._pending.pop(0)
+        with self._span("Fused frame step"):
+            # ONE transfer: step outputs + the frame's features (keyframe
+            # creation would otherwise lazy-fetch them for another RTT)
+            host, fd_host = jax.device_get((host_dev, feats))
+        frame.attach_host(fd_host)
+        with self.map.lock:
+            self._track(frame, fused=(host, aux))
+        if self.state != TrackingState.OK:
+            # the chain downstream of a failed frame was predicted from a
+            # bad pose: reprocess those frames through the legacy paths
+            # (reference-KF tracking / relocalization)
+            self.flush_pipeline(legacy=True)
+
+    def flush_pipeline(self, legacy: bool = False):
+        """Drain in-flight pipelined frames. legacy=True discards their
+        fused results (stale chain) and re-tracks from their features."""
+        while self._pending:
+            if legacy:
+                frame, aux, host_dev, feats = self._pending.pop(0)
+                frame._fetch_host()
+                with self.map.lock:
+                    self._track(frame)
+            else:
+                self._apply_one()
 
     def track_mono(self, image, timestamp: float) -> Optional[np.ndarray]:
         """Process one monocular frame (reference GrabImageMonocular analog)."""
@@ -593,10 +656,11 @@ class Tracker:
         mpCurrentKeyFrame's neighborhood (LoopClosing.cpp:429-501); here
         the last frame rides the same correction so the motion model stays
         continuous across the jump."""
+        D = np.linalg.inv(T_old.astype(np.float64)) @ T_new.astype(np.float64)
+        self._jump_log.append(D)  # unbounded but tiny: one per correction
         lf = self.last_frame
         if lf is None or lf.Tcw is None:
             return
-        D = np.linalg.inv(T_old.astype(np.float64)) @ T_new.astype(np.float64)
         lf.Tcw = (lf.Tcw.astype(np.float64) @ D).astype(np.float32)
 
     def _check_replaced_in_last_frame(self):
@@ -660,9 +724,20 @@ class Tracker:
         corrections, per-keyframe maintenance bump `map.version`);
         steady-state frames pass device array handles — zero upload."""
         m = self.map
+        sh = self.config.shapes
         ids = np.asarray(self.local_points, np.int64)
         if ids.size:
             ids = ids[m.valid_mask(ids)]
+        cap = sh.bucket_select(len(ids), 512, sh.local_cand_cap)
+        if len(ids) > cap:
+            # fixed-cap overflow: keep the most-observed points (the
+            # best-constrained landmarks); dropped ones return when the
+            # local set shrinks. Bounds both compute and compile count.
+            from . import shapes as shapes_mod
+
+            ids = shapes_mod.select_top(
+                ids, m.pt_nobs[ids].astype(np.float64), cap
+            )
         c = self._cand_cache
         if (
             c is not None
@@ -670,7 +745,7 @@ class Tracker:
             and np.array_equal(c["ids"], ids)
         ):
             return c
-        P = 1 << int(np.ceil(np.log2(max(len(ids), 512))))
+        P = sh.bucket(len(ids), 512, sh.local_cand_cap)
         pos, desc, normal, dmin, dmax = m.points_array(ids)
 
         def padto(a):
@@ -688,8 +763,13 @@ class Tracker:
         self._cand_cache = c
         return c
 
-    def _assemble_fused(self, images_u8):
-        """Host inputs for the one-sync fused step (under the map lock)."""
+    def _assemble_fused(self, images_u8, pred_steps: int = 1):
+        """Host inputs for the one-sync fused step (under the map lock).
+
+        pred_steps > 1 (pipelined tracking): the newest applied frame is
+        pred_steps-1 frames behind the one being dispatched, so the pose
+        prediction extrapolates the velocity that many steps and the
+        motion-match radius widens accordingly."""
         lf = self.last_frame
         N = self._N
         self._check_replaced_in_last_frame()
@@ -700,7 +780,10 @@ class Tracker:
         desc = np.zeros((N, 8), np.uint32)
         pw[has_pt] = self.map.pt_pos[pids[has_pt]]
         desc[has_pt] = self.map.pt_desc[pids[has_pt]]
-        T_pred = (self.velocity @ lf.Tcw).astype(np.float32)
+        T_pred = lf.Tcw.astype(np.float64)
+        for _ in range(pred_steps):
+            T_pred = self.velocity.astype(np.float64) @ T_pred
+        T_pred = T_pred.astype(np.float32)
         Twc = np.linalg.inv(T_pred.astype(np.float64))
         tlc = (lf.Tcw.astype(np.float64) @ Twc)[:3, 3]
         b = self.config.baseline
@@ -716,14 +799,22 @@ class Tracker:
         th_local = (
             5.0 if self.frame_id < self.last_reloc_frame_id + 2 else 1.0
         )
+        th_motion = 7.0 + 3.0 * (pred_steps - 1)
+        # raw numpy leaves: the jit call batches all host->device
+        # transfers into its one dispatch (eager jnp.asarray would issue
+        # a separate tunnel transfer per array)
         args = (
-            images_u8, jnp.asarray(pw), jnp.asarray(has_pt),
-            jnp.asarray(desc), lf.dev.octave, lf.dev.angle,
-            jnp.asarray(src_cand_row), jnp.asarray(T_pred),
-            np.float32(7.0), np.bool_(fwd), np.bool_(bwd),
+            images_u8, pw, has_pt,
+            desc, lf.dev.octave, lf.dev.angle,
+            src_cand_row, T_pred,
+            np.float32(th_motion), np.bool_(fwd), np.bool_(bwd),
             *cache["dev"], np.float32(th_local),
         )
-        aux = {"src_pids": pids, "cand_ids": ids}
+        aux = {
+            "src_pids": pids, "cand_ids": ids,
+            "jump_epoch": len(self._jump_log),
+            "T_pred": T_pred,
+        }
         return args, aux
 
     def _apply_fused(self, frame: FrameHost, host, aux) -> str:
@@ -742,6 +833,17 @@ class Tracker:
             return "motion_fail"
 
         frame.Tcw = np.asarray(host["Tcw"]).copy()
+        # a loop correction / essential graph / GBA write-back may have
+        # landed while the fused solve ran unlocked: the solved pose lives
+        # in the pre-correction world. Compose the missed jump deltas so
+        # the frame (and the motion model seeded from it) enters the
+        # corrected world (ADVICE r2: mid-frame pose-jump race).
+        missed = self._jump_log[aux["jump_epoch"]:]
+        if missed:
+            T = frame.Tcw.astype(np.float64)
+            for D in missed:
+                T = T @ D
+            frame.Tcw = T.astype(np.float32)
         frame.point_ids[:] = -1
         k1 = keep1 & (pfk >= 0)
         frame.point_ids[k1] = src_pids[pfk[k1]]
@@ -930,17 +1032,23 @@ class Tracker:
         return self.n_inliers >= 30
 
     def _update_local_map(self, frame: FrameHost):
-        """UpdateLocalKeyFrames + UpdateLocalPoints (Tracking.cpp:1041-1137)."""
-        votes = {}
+        """UpdateLocalKeyFrames + UpdateLocalPoints (Tracking.cpp:1041-1137).
+        The covisibility vote is one bincount over the map's dense
+        observation mirror — no per-point dict walk in the per-frame path."""
         has = frame.point_ids >= 0
         ok = has & self.map.valid_mask(frame.point_ids)
         frame.point_ids[has & ~ok] = -1
-        for pid in frame.point_ids[ok]:
-            for kf in self.map.pt_obs[int(pid)]:
-                if kf in self.map.kf_valid:
-                    votes[kf] = votes.get(kf, 0) + 1
-        if not votes:
+        ids = frame.point_ids[ok]
+        if ids.size == 0:
             return
+        rows = self.map.pt_obs_kf[ids]
+        flat = rows[rows >= 0]
+        flat = flat[self.map.kf_valid.mask_of(flat)]
+        if flat.size == 0:
+            return
+        counts = np.bincount(flat)
+        voters = np.nonzero(counts)[0]
+        votes = {int(k): int(counts[k]) for k in voters}
         local = list(votes)
         # add neighbors of the voters (cap 80, reference Tracking.cpp:1121)
         for kf in list(local):
@@ -1030,7 +1138,7 @@ class Tracker:
             th = 5.0
 
         # pad candidate arrays to a stable size to limit recompiles
-        P = 1 << int(np.ceil(np.log2(max(len(cand), 512))))
+        P = self.config.shapes.bucket(len(cand), 512, self.config.shapes.local_cand_cap)
         def padto(a, fill=0):
             out = np.full((P,) + a.shape[1:], fill, a.dtype)
             out[: len(a)] = a
@@ -1202,6 +1310,7 @@ class Tracker:
         )
 
     def reset(self):
+        self._pending.clear()  # drop in-flight pipelined frames
         self.map.clear()
         self.state = TrackingState.NO_IMAGES_YET
         self.velocity = None

@@ -61,10 +61,42 @@ def transform_words(voc: Vocabulary, desc: jax.Array, valid: jax.Array):
     return jnp.where(valid, words, -1)
 
 
+def bow_sparse(words: np.ndarray, word_weight: np.ndarray):
+    """Sparse tf-idf BoW vector from per-descriptor word ids (host side):
+    (sorted unique word ids [M] int64, L1-normalized weights [M] f32).
+    The DBoW2 BowVector equivalent (Thirdparty/DBoW2/DBoW2/BowVector.cpp:
+    addWeight + normalize) — at ORBvoc scale (1M words) a frame touches
+    <= n_features words, so the vector is ~14 KB instead of the 4 MB dense
+    form. database.py scores these by merge-intersection."""
+    uw, counts = np.unique(words[words >= 0], return_counts=True)
+    w = word_weight[uw] * counts
+    s = float(w.sum())
+    if s > 0:
+        w = w / s
+    return uw.astype(np.int64), w.astype(np.float32)
+
+
+def l1_score_sparse(a, b) -> float:
+    """L1 score between two sparse BoW vectors in O(shared words):
+    1 - 0.5*||v-w||_1 over L1-normalized vectors reduces to
+    sum over shared words of min(v_i, w_i) (the identity behind DBoW2's
+    intersection-only accumulation, ScoringObject.cpp L1Scoring)."""
+    wid1, wv1 = a
+    wid2, wv2 = b
+    _, i1, i2 = np.intersect1d(
+        wid1, wid2, assume_unique=True, return_indices=True
+    )
+    if i1.size == 0:
+        return 0.0
+    return float(np.minimum(wv1[i1], wv2[i2]).sum())
+
+
 def bow_vector(voc: Vocabulary, words: jax.Array, norm: str | None = "l1") -> jax.Array:
     """Dense normalized tf-idf vector [n_words]. Fine for vocabularies up
-    to ~64k words (tests use ~1k; EuRoC-scale 1M-word vocab uses the sparse
-    scoring path in database.py).
+    to ~64k words (tests use ~1k); the engine's place-recognition path
+    stores the sparse form (`bow_sparse`) and scores by merge-intersection
+    in database.py — the dense form remains for the full scorer suite and
+    as the validation oracle (tests/test_vocab.py).
 
     norm: "l1" (DBoW2 default for the L1/chi2/KL/Bhattacharyya scorers),
     "l2" (the L2 scorer), or None (dot-product scorer — no normalization;

@@ -7,33 +7,41 @@ word-id -> keyframe inverted file, shared-word accumulation, the
 covisible keyframes and applying minScore) and relocalization candidates
 (:174-284, no exclusion / no minScore).
 
-The inverted file is host-side (python dict of arrays): insertion and
-query volumes are per-keyframe, not per-pixel — device work stays in the
-vocabulary transform.
+Storage is SPARSE at every scale (the DBoW2 design, BowVector.cpp):
+per keyframe a sorted (word id, weight) pair of arrays (~14 KB at
+1200 features — vs 4 MB for a dense vector over the 1M-word ORBvoc), and
+scoring is O(shared words) by merge-intersection. The shared-word
+accumulation concatenates the query words' inverted lists and bincounts —
+one vectorized pass instead of the reference's per-word list walk.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
 from ..slam.map import SlamMap
+from .bow import l1_score_sparse
 
 
 class KeyFrameDatabase:
     def __init__(self, n_words: int):
         self.n_words = n_words
+        #: word id -> np.int64 array of keyframes containing it. Arrays
+        #: are append-friendly python lists compiled to arrays lazily.
         self.inverted: Dict[int, List[int]] = {}
-        self.kf_words: Dict[int, np.ndarray] = {}  # kf -> unique word ids
-        self.kf_bow: Dict[int, np.ndarray] = {}  # kf -> dense/sparse bow vector
+        self.kf_words: Dict[int, np.ndarray] = {}  # kf -> sorted unique word ids
+        self.kf_bow: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}  # sparse (wid, w)
 
-    def add(self, kf: int, words: np.ndarray, bow: np.ndarray):
+    def add(self, kf: int, words: np.ndarray, bow):
+        """words: per-descriptor word ids [N] (-1 invalid); bow: sparse
+        (word ids, weights) from bow_sparse."""
         uw = np.unique(words[words >= 0])
         self.kf_words[kf] = uw
         self.kf_bow[kf] = bow
-        for w in uw:
-            self.inverted.setdefault(int(w), []).append(kf)
+        for w in uw.tolist():
+            self.inverted.setdefault(w, []).append(kf)
 
     def erase(self, kf: int):
         for w in self.kf_words.pop(kf, ()):
@@ -50,16 +58,26 @@ class KeyFrameDatabase:
     # ------------------------------------------------------------------
 
     def _common_words(self, words: np.ndarray, exclude: Set[int]):
-        counts: Dict[int, int] = {}
-        for w in np.unique(words[words >= 0]):
-            for kf in self.inverted.get(int(w), ()):
-                if kf not in exclude:
-                    counts[kf] = counts.get(kf, 0) + 1
-        return counts
+        """Shared-word counts per keyframe: one concatenation + bincount
+        over the query words' inverted lists (O(total postings))."""
+        inv = self.inverted
+        lists = [
+            inv[w]
+            for w in np.unique(words[words >= 0]).tolist()
+            if w in inv
+        ]
+        if not lists:
+            return {}
+        flat = np.concatenate([np.asarray(l, np.int64) for l in lists])
+        kfs, counts = np.unique(flat, return_counts=True)
+        if exclude:
+            keep = ~np.isin(kfs, np.fromiter(exclude, np.int64, len(exclude)))
+            kfs, counts = kfs[keep], counts[keep]
+        return {int(k): int(c) for k, c in zip(kfs, counts)}
 
     @staticmethod
-    def _l1_score(v1: np.ndarray, v2: np.ndarray) -> float:
-        return float(1.0 - 0.5 * np.abs(v1 - v2).sum())
+    def _l1_score(v1, v2) -> float:
+        return l1_score_sparse(v1, v2)
 
     def _accumulate_groups(
         self,
@@ -111,7 +129,7 @@ class KeyFrameDatabase:
         return self._accumulate_groups(scored, slam_map, min_score)
 
     def detect_relocalization_candidates(
-        self, words: np.ndarray, bow: np.ndarray, slam_map: SlamMap
+        self, words: np.ndarray, bow, slam_map: SlamMap
     ) -> List[int]:
         counts = self._common_words(words, set())
         if not counts:

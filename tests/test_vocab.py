@@ -146,8 +146,8 @@ class TestKeyFrameDatabase:
 
         def wv(d):
             dj = jnp.asarray(np.ascontiguousarray(d).view(np.uint32).reshape(-1, 8))
-            w, v = bow.transform_jit(voc, dj, jnp.ones(len(d), bool))
-            return np.asarray(w), np.asarray(v)
+            w = np.asarray(bow.transform_words(voc, dj, jnp.ones(len(d), bool)))
+            return w, bow.bow_sparse(w, np.asarray(voc.word_weight))
 
         # 5 "keyframes" with distinct descriptor sets
         for kf in range(5):
@@ -162,3 +162,41 @@ class TestKeyFrameDatabase:
         w, v = wv(q)
         cands = db.detect_relocalization_candidates(w, v, m)
         assert 2 in cands
+
+
+class TestSparseBow:
+    """The engine's place-recognition path stores sparse (word id, weight)
+    vectors (reference DBoW2 BowVector); the dense form is the oracle."""
+
+    def test_sparse_matches_dense_l1(self, tiny_vocab):
+        voc, descs = tiny_vocab
+        ww = np.asarray(voc.word_weight)
+
+        def both(d):
+            dj = jnp.asarray(
+                np.ascontiguousarray(d).view(np.uint32).reshape(-1, 8)
+            )
+            w = np.asarray(bow.transform_words(voc, dj, jnp.ones(len(d), bool)))
+            dense = np.asarray(bow.bow_vector(voc, jnp.asarray(w)))
+            return bow.bow_sparse(w, ww), dense
+
+        sa, da = both(descs[:300])
+        sb, db_ = both(descs[200:520])
+        dense_score = 1.0 - 0.5 * np.abs(da - db_).sum()
+        sparse_score = bow.l1_score_sparse(sa, sb)
+        assert abs(sparse_score - dense_score) < 1e-5
+        # sparse weights reconstruct the dense vector exactly
+        rebuilt = np.zeros_like(da)
+        rebuilt[sa[0]] = sa[1]
+        np.testing.assert_allclose(rebuilt, da, atol=1e-6)
+
+    def test_sparse_memory_is_bounded_by_features(self, tiny_vocab):
+        voc, descs = tiny_vocab
+        ww = np.asarray(voc.word_weight)
+        dj = jnp.asarray(
+            np.ascontiguousarray(descs[:400]).view(np.uint32).reshape(-1, 8)
+        )
+        w = np.asarray(bow.transform_words(voc, dj, jnp.ones(400, bool)))
+        wid, wv = bow.bow_sparse(w, ww)
+        assert len(wid) <= 400
+        assert wid.nbytes + wv.nbytes < 400 * 12 + 16

@@ -83,12 +83,14 @@ def main():
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
     )
     import functools
+    import json
 
     import jax.numpy as jnp
     import numpy as np
 
     from orbslam2_tpu.ops import ba
 
+    artifact = {"device": jax.devices()[0].platform, "scales": {}}
     rng = np.random.default_rng(0)
     for tag, K, P, D in (("local", 32, 4096, 4), ("merged", 256, 32768, 8)):
         prob, cam = build(K, P, D, rng)
@@ -98,6 +100,14 @@ def main():
         dt = timeit(lambda p: solve(p, cam), (prob,), n=5,
                     name=f"[{tag}] ba_solve_pm 15 LM iters")
         print(f"    -> {dt/15*1e3:.2f} ms/LM-iter", flush=True)
+        n_edges = int(np.asarray(prob.edge_valid).sum())
+        artifact["scales"][tag] = {
+            "n_kfs": K, "n_points": P, "max_obs": D, "n_edges": n_edges,
+            "solve_ms_15_lm_iters": round(dt * 1e3, 3),
+            "ms_per_lm_iter": round(dt / 15 * 1e3, 3),
+            # each LM iteration runs 20 preconditioned-CG steps
+            "ms_per_cg_step": round(dt / (15 * 20) * 1e3, 4),
+        }
 
         # edge-terms A/B: gather vs one-hot pose fetch
         @jax.jit
@@ -131,6 +141,14 @@ def main():
 
         timeit(terms_onehot, (prob.poses, prob.points, prob),
                name=f"[{tag}] edge terms (one-hot poses)")
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BA_PROFILE.json",
+    )
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"artifact written to {out}")
 
 
 if __name__ == "__main__":

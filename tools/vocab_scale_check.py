@@ -97,26 +97,60 @@ def main():
     )
     assert n_words == args.branch ** args.levels
 
-    # batched descent of one frame's descriptors (1200, EuRoC config)
+    # batched descent of one frame's descriptors (1200, EuRoC config) —
+    # the engine path: device tree descent -> host sparse tf-idf vector
     rng = np.random.default_rng(1)
     desc = jnp.asarray(
         rng.integers(0, 2**32, (1200, 8), dtype=np.uint64).astype(np.uint32)
     )
     valid = jnp.ones(1200, bool)
-    transform = jax.jit(lambda d, v: bow.transform_jit(voc, d, v))
-    words, vec = jax.block_until_ready(transform(desc, valid))  # compile
+    transform = jax.jit(lambda d, v: bow.transform_words(voc, d, v))
+    ww = np.asarray(voc.word_weight)
+    words = jax.block_until_ready(transform(desc, valid))  # compile
     t0 = time.perf_counter()
     reps = 10
     for _ in range(reps):
-        words, vec = transform(desc, valid)
-    jax.block_until_ready(words)
-    t_descent = (time.perf_counter() - t0) / reps
+        words = transform(desc, valid)
     w = np.asarray(words)
+    t_descent = (time.perf_counter() - t0) / reps
     print(
         f"  descent: {t_descent*1e3:.1f} ms / 1200 descriptors "
         f"({w.min()}..{w.max()} word range)"
     )
     assert (w >= 0).all() and (w < n_words).all()
+
+    # --- keyframe database at scale: sparse (word id, weight) vectors,
+    # inverted-file candidate query (reference KeyFrameDatabase.cpp:51-172
+    # is O(shared words); the dense-vector alternative would be 4 MB/KF
+    # and a 1M-element pass per score at this vocabulary size)
+    from orbslam2_tpu.slam.map import SlamMap
+    from orbslam2_tpu.vocab.database import KeyFrameDatabase
+
+    n_kfs = 500
+    db = KeyFrameDatabase(n_words)
+    m = SlamMap(n_kp=1200)
+    kf_mem = []
+    for kf in range(n_kfs):
+        wkf = rng.integers(0, n_words, 1200)
+        sp = bow.bow_sparse(wkf, ww)
+        db.add(kf, wkf, sp)
+        m.kf_valid.add(kf)
+        m.covis[kf] = {}
+        kf_mem.append(sp[0].nbytes + sp[1].nbytes + db.kf_words[kf].nbytes)
+    q_words = np.asarray(w)
+    q_sp = bow.bow_sparse(q_words, ww)
+    t0 = time.perf_counter()
+    reps_q = 20
+    for _ in range(reps_q):
+        cands = db.detect_relocalization_candidates(q_words, q_sp, m)
+    t_query = (time.perf_counter() - t0) / reps_q
+    kb_per_kf = float(np.mean(kf_mem)) / 1e3
+    print(
+        f"  database: {n_kfs} KFs, {kb_per_kf:.1f} KB/KF sparse, "
+        f"query {t_query*1e3:.2f} ms"
+    )
+    assert kb_per_kf < 100, "sparse BoW storage must stay <100 KB/KF"
+    assert t_query < 0.010, "database query must stay <10 ms"
 
     artifact = {
         "k": args.branch,
@@ -127,6 +161,9 @@ def main():
         "parse_build_s": round(t_parse, 3),
         "array_memory_mb": round(mem_mb, 1),
         "descent_ms_per_1200_desc": round(t_descent * 1e3, 2),
+        "db_n_keyframes": n_kfs,
+        "db_kb_per_kf_sparse": round(kb_per_kf, 1),
+        "db_query_ms": round(t_query * 1e3, 3),
         "backend": jax.default_backend(),
     }
     with open(os.path.join(REPO, "VOCAB_SCALE.json"), "w") as f:
