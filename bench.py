@@ -30,6 +30,13 @@ import os
 import sys
 import time
 
+# single-threaded BLAS: with three busy python threads on a small host,
+# OpenBLAS's spin-wait barriers turn ~10 ms float64 matmuls into SECONDS
+# (r3 postmortem: one loop-fusion pass went 220 s -> 1.4 s with this).
+# Must be set before numpy loads.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -147,9 +154,6 @@ def main():
         orb=OrbConfig(n_features=1200),
         # ONE shape per device program: zero recompiles after warmup
         shapes=ShapePolicy(fixed=True),
-        # hide the device round trip behind the next frame's work (the
-        # tunnel RTT alone is ~25 ms; sequential tracking caps at ~20 fps)
-        pipelined_tracking=True,
     )
 
     # train a small vocabulary for place recognition (offline step in the
@@ -158,19 +162,28 @@ def main():
 
     fe = Frontend(cfg)
     descs, docs = [], []
-    for d, T in enumerate(world.trajectory_circuit(8)):
+    for d, T in enumerate(world.trajectory_circuit(16)):
         imL, _ = world.render_stereo(T)
         f = fe.process(imL, imL)
         v = np.asarray(f.valid)
-        dd = np.asarray(f.desc)[v][:400]
+        dd = np.asarray(f.desc)[v][:600]
         descs.append(np.ascontiguousarray(dd).view(np.uint8))
         docs.append(np.full(len(dd), d))
+    # k=8 depth=4 (4096 words): a 512-word vocabulary scored every
+    # keyframe pair near-equal on this world and place recognition
+    # surfaced mid-map candidates (r3 LOOP_TRACE: 200 rejections, all
+    # n_bow<5). ORBvoc-scale discrimination needs word count >> places.
     voc = train.train_vocabulary(
-        np.concatenate(descs), k=8, depth=3, doc_ids=np.concatenate(docs)
+        np.concatenate(descs), k=8, depth=4, doc_ids=np.concatenate(docs)
     )
 
-    n_frames = 240
-    poses_gt = world.trajectory_circuit(n_frames)
+    # 1.1 laps: the final ~24 frames revisit the start so the loop
+    # detector's 3-consecutive-keyframe consistency chain has room to
+    # fire and the post-closure frames run on the corrected map (a
+    # sequence that STOPS at the seam ends before the chain completes)
+    lap = world.trajectory_circuit(240)
+    poses_gt = lap + lap[:24]
+    n_frames = len(poses_gt)
     frames = [world.render_stereo(T) for T in poses_gt]  # dataset "IO"
 
     parity = write_frontend_parity(fe, *frames[0])
@@ -188,7 +201,8 @@ def main():
     for i in range(30):
         imL, imR = frames[i]
         sys_.track_stereo(imL, imR, i / 20.0)
-    sys_.wait_idle()
+    # the warmup drain absorbs the mapping/loop programs' first compiles
+    sys_.wait_idle(timeout=900)
     t_warm = time.perf_counter() - t0
     sys_.reset()
     from orbslam2_tpu.slam.timing import StageTimers
@@ -208,7 +222,7 @@ def main():
         est.append(sys_.track_stereo(imL, imR, i / 20.0))
         lat[i] = time.perf_counter() - f0
     dt = time.perf_counter() - t0
-    sys_.wait_idle()
+    sys_.wait_idle(timeout=900)
     fps = n_frames / dt
     n_compiles_timed = len(compile_events) - n_compiles_warmup
 
@@ -247,7 +261,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": (
                     "frames/s end-to-end (752x480 stereo, 1200 ORB, "
-                    "mapping+loop closing, 240-frame circuit)"
+                    "mapping+loop closing, 264-frame 1.1-lap circuit)"
                 ),
                 "vs_baseline": round(fps / baseline_fps, 3),
             }

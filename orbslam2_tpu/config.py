@@ -74,6 +74,11 @@ class SlamConfig:
     #: prediction, while the trajectory records solved poses. Off by
     #: default (the reference's per-frame API is fully synchronous).
     pipelined_tracking: bool = False
+    #: adaptive gate: pipeline only while tracking support is comfortable;
+    #: below this inlier count the tracker falls back to the synchronous
+    #: fused step (no lag) until support recovers — the lag costs matches
+    #: exactly when the map is thinnest
+    pipeline_min_inliers: int = 150
 
     def __post_init__(self):
         if self.shapes is None:

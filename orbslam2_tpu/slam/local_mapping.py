@@ -52,6 +52,7 @@ class LocalMapper:
         self._abort_ba = False
         self._queue: List[int] = []
         self.n_processed = 0
+        self._kfs_since_ba = 0
         self.on_processed = None  # downstream stage hook (loop closing)
         self.timers = None  # StageTimers, wired by System
         #: MappingWorker when the pipeline runs threaded (reference
@@ -62,27 +63,149 @@ class LocalMapper:
         sig2 = jnp.asarray(frontend.level_sigma2, jnp.float32)
         inv_sig2 = frontend.inv_level_sigma2
 
-        # all covisible neighbors matched in ONE device program (the
-        # reference walks neighbors sequentially, LocalMapping.cpp:202;
-        # one vmapped launch replaces ~10 round trips per keyframe).
-        # Neighbor inputs arrive as TUPLES and stack INSIDE the jit: an
-        # eager jnp.stack of K device arrays dispatches a concat over the
-        # TPU tunnel per call (profiled ~hundreds of ms of pure dispatch
-        # latency per keyframe in the round-3 on-chip runs).
+        # all covisible neighbors matched AND triangulated in ONE device
+        # program (the reference walks neighbors sequentially and
+        # triangulates per pair on the CPU, LocalMapping.cpp:202-407; the
+        # host-side SVD+gates were ~100 ms of GIL/lock pressure per
+        # keyframe in the r3 on-chip profile). Neighbor inputs arrive as
+        # TUPLES and stack INSIDE the jit: an eager jnp.stack of K device
+        # arrays dispatches a concat over the TPU tunnel per call.
+        camcfg = config.camera
+        fx, fy, cx, cy = camcfg.fx, camcfg.fy, camcfg.cx, camcfg.cy
+        bfv = camcfg.bf
+        b_half = float(config.baseline) / 2
+        rfac = 1.5 * float(config.orb.scale_factor)
+        _eins = lambda *a: jnp.einsum(*a, precision="highest")
+
+        def _epi_tri_one(uv1, d1, fr1, a1, s1, dep1, ur1, o1,
+                         uv2, o2, d2, fr2, a2, s2, dep2, ur2,
+                         F, ep, T1, T2, Twc1, Twc2, O1, O2):
+            m12 = matchers.epipolar_match(
+                uv1, d1, fr1, a1, s1, uv2, o2, d2, fr2, a2, s2, F, ep,
+                sf, sig2,
+            )[0]
+            N, M = uv1.shape[0], uv2.shape[0]
+            hit = m12 >= 0
+            j = jnp.clip(m12, 0, M - 1).astype(jnp.int32)
+            choice = matchers._choice_matrix(j, M).astype(jnp.float32)
+            vals2 = jnp.concatenate(
+                [uv2, dep2[:, None], ur2[:, None],
+                 o2[:, None].astype(jnp.float32),
+                 s2[:, None].astype(jnp.float32)], axis=1,
+            )  # [M,6]
+            got = _eins("nm,mc->nc", choice, vals2)
+            kp2 = got[:, :2]
+            dep2m = got[:, 2]
+            ur2m = got[:, 3]
+            o2m = got[:, 4].astype(jnp.int32)
+            s2m = got[:, 5] > 0.5
+
+            one = jnp.ones((N, 1), jnp.float32)
+            xn1 = jnp.concatenate(
+                [(uv1[:, :1] - cx) / fx, (uv1[:, 1:2] - cy) / fy, one], 1)
+            xn2 = jnp.concatenate(
+                [(kp2[:, :1] - cx) / fx, (kp2[:, 1:2] - cy) / fy, one], 1)
+            ray1 = _eins("ni,ij->nj", xn1, T1[:3, :3])
+            ray2 = _eins("ni,ij->nj", xn2, T2[:3, :3])
+            cos_rays = jnp.sum(ray1 * ray2, -1) / jnp.maximum(
+                jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1),
+                1e-12,
+            )
+            cos_st1 = jnp.where(
+                s1, jnp.cos(2 * jnp.arctan2(b_half, jnp.maximum(dep1, 1e-9))),
+                2.0,
+            )
+            cos_st2 = jnp.where(
+                s2m, jnp.cos(2 * jnp.arctan2(b_half, jnp.maximum(dep2m, 1e-9))),
+                2.0,
+            )
+            cos_stereo = jnp.minimum(cos_st1, cos_st2)
+            use_tri = (
+                (cos_rays < cos_stereo) & (cos_rays > 0)
+                & (s1 | s2m | (cos_rays < 0.9998))
+            )
+            use_s1 = ~use_tri & s1 & (cos_st1 < cos_st2)
+            use_s2 = ~use_tri & ~use_s1 & s2m & (cos_st2 < cos_st1)
+
+            # DLT 4x4 system; nullspace via eigh of A^T A (batched)
+            A = jnp.stack(
+                [
+                    xn1[:, 0:1] * T1[2, :] - T1[0, :],
+                    xn1[:, 1:2] * T1[2, :] - T1[1, :],
+                    xn2[:, 0:1] * T2[2, :] - T2[0, :],
+                    xn2[:, 1:2] * T2[2, :] - T2[1, :],
+                ],
+                axis=1,
+            )  # [N,4,4]
+            AtA = _eins("nij,nik->njk", A, A)
+            _, V = jnp.linalg.eigh(AtA)
+            h = V[..., :, 0]  # smallest-eigenvalue eigenvector
+            h_ok = jnp.abs(h[:, 3]) >= 1e-12
+            x_tri = h[:, :3] / jnp.where(h_ok, h[:, 3], 1.0)[:, None]
+
+            def unproject(uv, dep, Twc):
+                pc = jnp.stack(
+                    [(uv[:, 0] - cx) * dep / fx, (uv[:, 1] - cy) * dep / fy,
+                     dep], 1)
+                return _eins("ni,ji->nj", pc, Twc[:3, :3]) + Twc[:3, 3]
+
+            x3d = jnp.where(
+                use_tri[:, None], x_tri,
+                jnp.where(
+                    use_s1[:, None], unproject(uv1, dep1, Twc1),
+                    unproject(kp2, dep2m, Twc2),
+                ),
+            )
+            valid = hit & ((use_tri & h_ok) | use_s1 | use_s2)
+
+            # reprojection gates in both keyframes (chi2 5.991/7.8)
+            for T, uv, urm, octv, st in (
+                (T1, uv1, ur1, o1, s1), (T2, kp2, ur2m, o2m, s2m),
+            ):
+                pc = _eins("ni,ji->nj", x3d, T[:3, :3]) + T[:3, 3]
+                z = pc[:, 2]
+                zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+                u = fx * pc[:, 0] / zs + cx
+                v = fy * pc[:, 1] / zs + cy
+                ex = u - uv[:, 0]
+                ey = v - uv[:, 1]
+                er = jnp.where(st, (u - bfv / zs) - urm, 0.0)
+                e2 = ex * ex + ey * ey + er * er
+                th = jnp.where(st, 7.8, 5.991) * matchers.lookup_level(
+                    sig2, octv
+                )
+                valid &= (z > 0) & (e2 <= th)
+
+            # scale-consistency gate (LocalMapping.cpp:389-400)
+            d1n = jnp.linalg.norm(x3d - O1, axis=1)
+            d2n = jnp.linalg.norm(x3d - O2, axis=1)
+            ratio_dist = d2n / jnp.maximum(d1n, 1e-12)
+            ratio_oct = matchers.lookup_level(sf, o1) / jnp.maximum(
+                matchers.lookup_level(sf, o2m), 1e-12
+            )
+            valid &= (d1n > 0) & (d2n > 0)
+            valid &= ~(
+                (ratio_dist * rfac < ratio_oct)
+                | (ratio_dist > ratio_oct * rfac)
+            )
+            return m12, x3d, valid
+
         _epi_vmap = jax.vmap(
-            lambda uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep: matchers.epipolar_match(
-                uv1, d1, f1, a1, s1, uv2, o2, d2, f2, a2, s2, F, ep, sf, sig2
-            )[0],
-            in_axes=(None, None, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
+            _epi_tri_one,
+            in_axes=(None,) * 8 + (0,) * 8 + (0, 0, None, 0, None, 0, None, 0),
         )
 
-        def _epi_batch(uv1, d1, f1, a1, s1, uv2s, o2s, d2s, fr2s, a2s, st2s,
-                       Fs, eps):
+        def _epi_batch(uv1, d1, f1, a1, s1, dep1, ur1, o1,
+                       uv2s, o2s, d2s, fr2s, a2s, st2s, dep2s, ur2s,
+                       Fs, eps, T1, T2s, Twc1, Twc2s, O1, O2s):
             return _epi_vmap(
-                uv1, d1, f1, a1, s1,
+                uv1, d1, f1, a1, s1, dep1, ur1, o1,
                 jnp.stack(uv2s), jnp.stack(o2s), jnp.stack(d2s),
                 jnp.stack(fr2s), jnp.stack(a2s), jnp.stack(st2s),
+                jnp.stack(dep2s), jnp.stack(ur2s),
                 jnp.stack(Fs), jnp.stack(eps),
+                T1, jnp.stack(T2s), Twc1, jnp.stack(Twc2s),
+                O1, jnp.stack(O2s),
             )
 
         self._jit_epipolar_batch = jax.jit(_epi_batch)
@@ -195,12 +318,19 @@ class LocalMapper:
             # gate on _stopped: a LoopCloser.request_stop() landing between
             # pump()'s entry check and here must not be nullified by the
             # _abort_ba reset (reference checks !stopRequested() before the
-            # BA, LocalMapping.cpp:68)
+            # BA, LocalMapping.cpp:68).
+            # The reference runs local BA per keyframe because its queue
+            # rarely backs up (LocalMapping.cpp:64-73); here a sustained
+            # keyframe inflow must not starve BA/culling forever, so they
+            # also force-run after 3 unoptimized keyframes (the BA remains
+            # interruptible by the tracker's InsertKeyFrame).
+            self._kfs_since_ba += 1
             if (
                 self.map.n_keyframes() > 2
-                and not self._queue
+                and (not self._queue or self._kfs_since_ba >= 3)
                 and not self._stopped
             ):
+                self._kfs_since_ba = 0
                 self._abort_ba = False
                 with self._span("Local BA"):
                     self._local_ba(kf)
@@ -263,7 +393,6 @@ class LocalMapper:
         validity re-checks — a loop correction may have landed meanwhile)."""
         c = self.config.camera
         b = self.config.baseline
-        ratio_factor = 1.5 * self.map.scale_factor
 
         with self.lock:
             if kf1 not in self.map.kf_valid:
@@ -309,13 +438,16 @@ class LocalMapper:
         if not active:
             return
 
-        # --- unlocked: device launch + fetch (frame features are
-        # immutable device snapshots; everything else was copied above).
-        # Neighbor axis padded to a bucket (fixed cap when configured);
-        # padding rows reuse the first neighbor's features with free2=False
+        # --- unlocked: ONE device launch matches AND triangulates against
+        # every neighbor (frame features are immutable device snapshots;
+        # poses were copied above). Neighbor axis padded to a bucket
+        # (fixed cap when configured); padding rows reuse the first
+        # neighbor's features with free2=False
         K = self._bucket_k(len(active))
         active = active[:K]  # fixed-cap overflow: keep top-covisible
-        uv2s, o2s, d2s, fr2s, a2s, st2s, Fs, eps = ([] for _ in range(8))
+        Twc1 = np.linalg.inv(T1)
+        uv2s, o2s, d2s, fr2s, a2s, st2s = ([] for _ in range(6))
+        dep2s, ur2s, Fs, eps, T2s, Twc2s, O2s = ([] for _ in range(7))
         for i in range(K):
             kf2, T2, O2, f2, fr, st, F12, ep = (
                 active[i] if i < len(active) else active[0]
@@ -326,160 +458,70 @@ class LocalMapper:
             fr2s.append(fr if i < len(active) else np.zeros_like(fr))
             a2s.append(f2.dev.angle)
             st2s.append(st)
+            dep2s.append(f2.dev.depth)
+            ur2s.append(f2.dev.u_right)
             Fs.append(F12)
             eps.append(ep)
-        m12_all = np.asarray(
+            T2s.append(T2.astype(np.float32))
+            Twc2s.append(np.linalg.inv(T2).astype(np.float32))
+            O2s.append(O2.astype(np.float32))
+        m12_all, x3d_all, valid_all = jax.device_get(
             self._jit_epipolar_batch(
                 f1.dev.uv, f1.dev.desc, free1,
-                f1.dev.angle, stereo1,
+                f1.dev.angle, stereo1, f1.dev.depth, f1.dev.u_right,
+                f1.dev.octave,
                 tuple(uv2s), tuple(o2s), tuple(d2s),
                 tuple(fr2s), tuple(a2s), tuple(st2s),
+                tuple(dep2s), tuple(ur2s),
                 tuple(Fs), tuple(eps),
+                T1.astype(np.float32), tuple(T2s),
+                Twc1.astype(np.float32), tuple(Twc2s),
+                O1.astype(np.float32), tuple(O2s),
             )
         )
+        results = []
+        for j, (kf2, T2, O2, f2, free2, stereo2, F12, ep) in enumerate(active):
+            sel = valid_all[j] & (m12_all[j] >= 0)
+            i1 = np.nonzero(sel)[0]
+            if i1.size:
+                i2 = m12_all[j][i1].astype(np.int64)
+                results.append((kf2, i1, i2, x3d_all[j][i1].astype(np.float64)))
 
-        # --- locked: triangulate + allocate points (host math is cheap
-        # numpy; the poses are re-read so a mid-flight correction moves
-        # the triangulation with the map)
+        # --- locked: claim + allocate (vectorized writes; a kp claimed by
+        # an earlier neighbor is skipped — the sequential reference
+        # excluded it from matching, LocalMapping.cpp:274-280)
+        created_all = []
         with self.lock:
             if kf1 not in self.map.kf_valid:
                 return
-            for j, (kf2, T2, O2, f2, free2, stereo2, F12, ep) in enumerate(active):
-                if kf2 not in self.map.kf_valid:
+            m = self.map
+            for kf2, i1, i2, x3d in results:
+                if kf2 not in m.kf_valid:
                     continue
-                # re-read poses: a loop correction may have rewritten them
-                # while the matcher ran (matches are pose-robust enough;
-                # the triangulation must use current geometry)
-                T1c = self.map.kf_pose[kf1].astype(np.float64)
-                T2c = self.map.kf_pose[kf2].astype(np.float64)
-                O1c = self.map.kf_center(kf1)
-                O2c = self.map.kf_center(kf2)
-                m12 = m12_all[j]
-                # a kp1 claimed by an earlier neighbor's triangulation is
-                # skipped (the sequential reference excluded it from matching)
-                still_free = self.map.kf_point[kf1] < 0
-                free2_now = self.map.kf_point[kf2] < 0
-                pairs = [
-                    (i, int(m12[i]))
-                    for i in np.nonzero((m12 >= 0) & still_free)[0]
-                    if free2_now[int(m12[i])]
-                ]
-                self._triangulate_pairs(
-                    kf1, kf2, pairs, T1c, T2c, O1c, O2c, ratio_factor
+                keep = (m.kf_point[kf1][i1] < 0) & (m.kf_point[kf2][i2] < 0)
+                if not keep.any():
+                    continue
+                created_all.extend(
+                    self._commit_triangulated(
+                        kf1, kf2, i1[keep], i2[keep], x3d[keep]
+                    )
                 )
+            if created_all:
+                self.recent_points.extend(created_all)
+                m.update_normals_batch(created_all)
 
-    def _triangulate_pairs(self, kf1, kf2, pairs, T1, T2, O1, O2, ratio_factor):
-        """Triangulation + acceptance gates (reference LocalMapping.cpp:274-407),
-        vectorized over all matched pairs: one batched 4x4 SVD plus masked
-        gate math replaces the reference's per-pair loop."""
-        if not pairs:
-            return 0
-        c = self.config.camera
-        f1 = self.map.kf_frame[kf1]
-        f2 = self.map.kf_frame[kf2]
-        sig2 = self.frontend.level_sigma2
-        sf = self.map.scale_factors
-        i1 = np.asarray([p[0] for p in pairs], np.int64)
-        i2 = np.asarray([p[1] for p in pairs], np.int64)
-        M = len(pairs)
-
-        kp1 = f1.uv[i1].astype(np.float64)
-        kp2 = f2.uv[i2].astype(np.float64)
-        xn1 = np.stack(
-            [(kp1[:, 0] - c.cx) / c.fx, (kp1[:, 1] - c.cy) / c.fy, np.ones(M)], 1
-        )
-        xn2 = np.stack(
-            [(kp2[:, 0] - c.cx) / c.fx, (kp2[:, 1] - c.cy) / c.fy, np.ones(M)], 1
-        )
-        ray1 = xn1 @ T1[:3, :3]  # == (R1^T @ xn1^T)^T per pair
-        ray2 = xn2 @ T2[:3, :3]
-        cos_rays = np.einsum("ij,ij->i", ray1, ray2) / (
-            np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1)
-        )
-        s1 = f1.u_right[i1] >= 0
-        s2 = f2.u_right[i2] >= 0
-        b_half = self.config.baseline / 2
-        cos_st1 = np.where(
-            s1, np.cos(2 * np.arctan2(b_half, np.maximum(f1.depth[i1], 1e-9))), 2.0
-        )
-        cos_st2 = np.where(
-            s2, np.cos(2 * np.arctan2(b_half, np.maximum(f2.depth[i2], 1e-9))), 2.0
-        )
-        cos_stereo = np.minimum(cos_st1, cos_st2)
-
-        use_tri = (
-            (cos_rays < cos_stereo) & (cos_rays > 0)
-            & (s1 | s2 | (cos_rays < 0.9998))
-        )
-        use_s1 = ~use_tri & s1 & (cos_st1 < cos_st2)
-        use_s2 = ~use_tri & ~use_s1 & s2 & (cos_st2 < cos_st1)
-
-        # linear triangulation: batched SVD of the 4x4 DLT system
-        A = np.stack(
-            [
-                xn1[:, 0, None] * T1[2, :] - T1[0, :],
-                xn1[:, 1, None] * T1[2, :] - T1[1, :],
-                xn2[:, 0, None] * T2[2, :] - T2[0, :],
-                xn2[:, 1, None] * T2[2, :] - T2[1, :],
-            ],
-            axis=1,
-        )  # [M,4,4]
-        _, _, Vt = np.linalg.svd(A)
-        h = Vt[:, -1, :]
-        h_ok = np.abs(h[:, 3]) >= 1e-12
-        x_tri = h[:, :3] / np.where(h_ok, h[:, 3], 1.0)[:, None]
-
-        def unproject(f, T, idx):
-            z = f.depth[idx].astype(np.float64)
-            uv = f.uv[idx].astype(np.float64)
-            pc = np.stack(
-                [(uv[:, 0] - c.cx) * z / c.fx, (uv[:, 1] - c.cy) * z / c.fy, z], 1
-            )
-            Twc = np.linalg.inv(T)
-            return pc @ Twc[:3, :3].T + Twc[:3, 3]
-
-        x3d = np.where(
-            use_tri[:, None], x_tri,
-            np.where(use_s1[:, None], unproject(f1, T1, i1), unproject(f2, T2, i2)),
-        )
-        valid = (use_tri & h_ok) | use_s1 | use_s2
-
-        # reprojection gates in both keyframes (chi2 5.991 mono / 7.8 stereo)
-        for T, f, idx, st in ((T1, f1, i1, s1), (T2, f2, i2, s2)):
-            pc = x3d @ T[:3, :3].T + T[:3, 3]
-            z = pc[:, 2]
-            zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
-            u = c.fx * pc[:, 0] / zs + c.cx
-            v = c.fy * pc[:, 1] / zs + c.cy
-            uv = f.uv[idx].astype(np.float64)
-            ex = u - uv[:, 0]
-            ey = v - uv[:, 1]
-            er = np.where(st, (u - c.bf / zs) - f.u_right[idx], 0.0)
-            e2 = ex * ex + ey * ey + er * er
-            th = np.where(st, 7.8, 5.991) * sig2[f.octave[idx]]
-            valid &= (z > 0) & (e2 <= th)
-
-        # scale-consistency gate (LocalMapping.cpp:389-400)
-        d1 = np.linalg.norm(x3d - O1, axis=1)
-        d2 = np.linalg.norm(x3d - O2, axis=1)
-        ratio_dist = d2 / np.maximum(d1, 1e-12)
-        ratio_oct = sf[f1.octave[i1]] / sf[f2.octave[i2]]
-        valid &= (d1 > 0) & (d2 > 0)
-        valid &= ~(
-            (ratio_dist * ratio_factor < ratio_oct)
-            | (ratio_dist > ratio_oct * ratio_factor)
-        )
-
+    def _commit_triangulated(self, kf1, kf2, a_idx, b_idx, x3d):
+        """Allocate + register new points (caller holds the map lock;
+        normals/recent-point bookkeeping is batched by the caller)."""
         m = self.map
-        sel = np.nonzero(valid)[0]
-        if sel.size == 0:
-            return 0
-        n = len(sel)
-        a_idx = i1[sel]
-        b_idx = i2[sel]
+        f1 = m.kf_frame[kf1]
+        f2 = m.kf_frame[kf2]
+        n = len(a_idx)
+        if n == 0:
+            return []
         base = m._alloc_points(n)
         new_ids = np.arange(base, base + n)
-        m.pt_pos[new_ids] = x3d[sel]
+        m.pt_pos[new_ids] = x3d
         # distinctive descriptor of a fresh 2-obs point is the first
         # observation's (both medians tie; argmin picks row 0)
         m.pt_desc[new_ids] = f1.desc[a_idx].astype(np.uint32)
@@ -498,10 +540,7 @@ class LocalMapper:
         m.pt_obs_n[new_ids] = 2
         m.kf_point[kf1][a_idx] = new_ids
         m.kf_point[kf2][b_idx] = new_ids
-        created = new_ids.tolist()
-        self.recent_points.extend(created)
-        m.update_normals_batch(created)
-        return len(created)
+        return new_ids.tolist()
 
     def _median_scene_depth(self, kf: int) -> float:
         """KeyFrame::ComputeSceneMedianDepth equivalent."""
@@ -604,8 +643,10 @@ class LocalMapper:
     def _apply_fuse_matches(self, kf: int, pids, best_idx):
         """Merge protocol per matched (point, feature) pair (reference
         ORBmatcher.cpp:795-818): replace the weaker of the two points or
-        add the new observation."""
+        add the new observation. Descriptor refreshes are deferred to one
+        batched pass (the per-merge refresh dominated fusion host time)."""
         kf_pids = self.map.kf_point[kf]
+        survivors = []
         for j, pid in enumerate(pids):
             fi = int(best_idx[j])
             if fi < 0:
@@ -617,11 +658,15 @@ class LocalMapper:
             if existing >= 0 and existing in self.map.pt_valid:
                 # replace the one with fewer observations (ORBmatcher.cpp:795-807)
                 if self.map.n_observations(existing) > self.map.n_observations(pid):
-                    self.map.replace_point(pid, existing)
+                    self.map.replace_point(pid, existing, refresh_desc=False)
+                    survivors.append(existing)
                 else:
-                    self.map.replace_point(existing, pid)
+                    self.map.replace_point(existing, pid, refresh_desc=False)
+                    survivors.append(pid)
             else:
                 self.map.add_observation(pid, kf, fi)
+        if survivors:
+            self.map.compute_distinctive_descriptors_batch(survivors)
 
     def _fuse_into_batch(self, targets, pids):
         """Forward Fuse of one point set into many keyframes: host gates

@@ -290,7 +290,8 @@ class LoopCloser:
         # the RANSAC Sim3, keep mutually-agreeing new pairs, and extend
         # the correspondence set before the refinement. The projection
         # searches manage the lock internally (device solves unlocked).
-        extra = self._search_by_sim3(kf, cand, res.S12)
+        with self._span("Sim3 guided search"):
+            extra = self._search_by_sim3(kf, cand, res.S12)
         add_rows = []
         with self.lock:
             if cand not in self.map.kf_valid or kf not in self.map.kf_valid:
@@ -341,6 +342,8 @@ class LoopCloser:
         # both edge directions carry their own information weight
         # (reference OptimizeSim3 sets invSigmaSquare per direction,
         # Optimizer.cpp:1100-1150): w = 9.21/(9.21*sigma2) = 1/sigma2
+        refine_span = self._span("Sim3 refine")
+        refine_span.__enter__()
         S12, inl, n_inl = self._jit_opt_sim3(
             res.S12, jnp.asarray(X1), jnp.asarray(X2),
             jnp.asarray(uv1), jnp.asarray(uv2),
@@ -354,9 +357,11 @@ class LoopCloser:
             self.frontend.camera,
             fix_scale=self.fix_scale,
         )
-        if int(n_inl) < 20:
+        n_inl = int(n_inl)
+        refine_span.__exit__(None, None, None)
+        if n_inl < 20:
             return reject("sim3_opt", n_bow=len(matches),
-                          n_ransac=n_inl_ransac, n_opt=int(n_inl))
+                          n_ransac=n_inl_ransac, n_opt=n_inl)
 
         # Scw = S1,2 ∘ S2,w  (corrected world->current) — composed on the
         # host in numpy (eager 3x3 device ops are tunnel round trips)
@@ -380,7 +385,8 @@ class LoopCloser:
                 np.concatenate([self.map.kf_point[k] for k in group])
             )
             loop_pts = [int(p) for p in ids[self.map.valid_mask(ids)]]
-        matched = self._search_by_sim3_projection(kf, Scw, loop_pts, th=10.0)
+        with self._span("Sim3 verify"):
+            matched = self._search_by_sim3_projection(kf, Scw, loop_pts, th=10.0)
         total = len(matched)
         for i, pid in matches.items():
             if i not in matched:
@@ -467,12 +473,12 @@ class LoopCloser:
             if pids.size == 0:
                 return {}
             pos, desc, normal, dmin, dmax = self.map.points_array(pids)
-        pc = (pos.astype(np.float64) @ R.T) * s + t
+        pc = (pos.astype(np.float64) @ np.asarray(R).T) * s + np.asarray(t)
         z = pc[:, 2]
         zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
         u = c.fx * pc[:, 0] / zs + c.cx
         v = c.fy * pc[:, 1] / zs + c.cy
-        Ow = -(R.T @ t) / s
+        Ow = -(np.asarray(R).T @ np.asarray(t)) / s
         po = pos.astype(np.float64) - Ow
         dist = np.linalg.norm(po, axis=1)
         viewcos = np.einsum("ij,ij->i", po, normal) / np.maximum(dist, 1e-9)
@@ -502,20 +508,20 @@ class LoopCloser:
         def padto(a, fill=0):
             return shapes_mod.pad_rows(a, P, fill)
 
-        ur_dummy = np.full(P, -1.0, np.float32)
-        best_idx, best_dist = self._jit_fuse_match(
-            f.dev.uv, f.dev.octave,
-            jnp.asarray(np.full(len(f.valid), -1.0, np.float32)),  # no stereo gate
-            f.dev.desc, f.dev.valid,
-            jnp.asarray(padto(np.stack([u, v], -1).astype(np.float32))),
-            jnp.asarray(ur_dummy),
-            jnp.asarray(padto(level)),
-            jnp.asarray(padto(desc)),
-            jnp.asarray(padto(visible)),
-            self.frontend.scale_factors, self.frontend.inv_level_sigma2,
-            th=th,
-        )
-        best_idx = np.asarray(best_idx)
+        with self._span("Sim3 projection search"):
+            best_idx, best_dist = self._jit_fuse_match(
+                f.dev.uv, f.dev.octave,
+                np.full(len(f.valid), -1.0, np.float32),  # no stereo gate
+                f.dev.desc, f.dev.valid,
+                padto(np.stack([u, v], -1).astype(np.float32)),
+                np.full(P, -1.0, np.float32),
+                padto(level),
+                padto(desc),
+                padto(visible),
+                self.frontend.scale_factors, self.frontend.inv_level_sigma2,
+                th=th,
+            )
+            best_idx = np.asarray(best_idx)
         out: Dict[int, int] = {}
         for j in range(len(pids)):
             fi = int(best_idx[j])
@@ -604,7 +610,9 @@ class LoopCloser:
             m.kf_pose[ki] = T_new
             m.update_connections(ki)
 
-        # attach matched loop points at the current keyframe
+        # attach matched loop points at the current keyframe (descriptor
+        # refreshes deferred to one batched pass below)
+        touched = []
         cur_pids = m.kf_point[kf]
         for fi, loop_pid in self._matched_points.items():
             loop_pid = m.resolve_replaced(loop_pid)
@@ -612,32 +620,39 @@ class LoopCloser:
                 continue
             cur_pid = int(cur_pids[fi])
             if cur_pid >= 0 and cur_pid in m.pt_valid and cur_pid != loop_pid:
-                m.replace_point(cur_pid, loop_pid)
+                m.replace_point(cur_pid, loop_pid, refresh_desc=False)
+                touched.append(loop_pid)
             elif cur_pid < 0:
                 m.add_observation(loop_pid, kf, fi)
-                m.compute_distinctive_descriptor(loop_pid)
+                touched.append(loop_pid)
 
         # fuse loop points into every corrected keyframe (SearchAndFuse)
         fusion_span = self._span("Loop fusion")
         fusion_span.__enter__()
         old_neighbors = {ki: set(m.covisible_keyframes(ki)) for ki in current_group}
+        loop_pt_arr = np.asarray(self._loop_points, np.int64)
+        loop_pt_list = loop_pt_arr[m.valid_mask(loop_pt_arr)]
         for ki in current_group:
             Rc, tc, sc = corrected[ki]
-            matched = self._search_by_sim3_projection(
-                ki, (Rc, tc, sc),
-                [p for p in self._loop_points if p in m.pt_valid], th=4.0
-            )
+            with self._span("Loop fusion search"):
+                matched = self._search_by_sim3_projection(
+                    ki, (Rc, tc, sc), loop_pt_list, th=4.0
+                )
             kf_pids = m.kf_point[ki]
-            for fi, pid in matched.items():
-                pid = m.resolve_replaced(pid)
-                if pid not in m.pt_valid or ki in m.pt_obs[pid]:
-                    continue
-                existing = int(kf_pids[fi])
-                if existing >= 0 and existing in m.pt_valid and existing != pid:
-                    m.replace_point(existing, pid)
-                else:
-                    m.add_observation(pid, ki, fi)
-            m.update_connections(ki)
+            with self._span("Loop fusion merge"):
+                for fi, pid in matched.items():
+                    pid = m.resolve_replaced(pid)
+                    if pid not in m.pt_valid or ki in m.pt_obs[pid]:
+                        continue
+                    existing = int(kf_pids[fi])
+                    if existing >= 0 and existing in m.pt_valid and existing != pid:
+                        m.replace_point(existing, pid, refresh_desc=False)
+                        touched.append(pid)
+                    else:
+                        m.add_observation(pid, ki, fi)
+                        touched.append(pid)
+            with self._span("Loop fusion connections"):
+                m.update_connections(ki)
 
         # new links created by the fusion
         loop_connections: Dict[int, Set[int]] = {}
@@ -647,6 +662,11 @@ class LoopCloser:
             if fresh:
                 loop_connections[ki] = fresh
 
+        # ONE batched distinctive-descriptor refresh for every point the
+        # fusion touched (the per-merge refresh made corrections minutes
+        # long on-chip — r3 postmortem)
+        with self._span("Loop fusion refresh"):
+            m.compute_distinctive_descriptors_batch(sorted(set(touched)))
         fusion_span.__exit__(None, None, None)
 
         # loop edge bookkeeping

@@ -258,10 +258,10 @@ class SlamMap:
         self.children[kf] = set()
         self.loop_edges[kf] = set()
         self.kf_first_connection[kf] = True
-        for idx in np.nonzero(frame.point_ids >= 0)[0]:
-            pid = int(frame.point_ids[idx])
-            if pid in self.pt_valid:
-                self.add_observation(pid, kf, int(idx))
+        idxs = np.nonzero(frame.point_ids >= 0)[0]
+        pids = frame.point_ids[idxs]
+        ok = self.valid_mask(pids)
+        self.add_observations_batch(pids[ok], kf, idxs[ok])
         return kf
 
     def kf_center(self, kf: int) -> np.ndarray:
@@ -442,6 +442,27 @@ class SlamMap:
         self._obs_set(pid, kf, idx)
         self.kf_point[kf][idx] = pid
 
+    def add_observations_batch(self, pids: np.ndarray, kf: int, idxs: np.ndarray):
+        """Register many (point, feature) observations of ONE new keyframe
+        in vectorized passes (keyframe insertion registers hundreds; the
+        per-point path was ~10 ms of host time per keyframe). The keyframe
+        must not already observe any of the points."""
+        pids = np.asarray(pids, np.int64)
+        idxs = np.asarray(idxs, np.int64)
+        if pids.size == 0:
+            return
+        f = self.kf_frame[kf]
+        self.pt_nobs[pids] += np.where(f.u_right[idxs] >= 0, 2, 1)
+        n = self.pt_obs_n[pids]
+        while int(n.max()) >= self.pt_obs_kf.shape[1]:
+            self._grow_obs_cols()
+        self.pt_obs_kf[pids, n] = kf
+        self.pt_obs_idx[pids, n] = idxs
+        self.pt_obs_n[pids] = n + 1
+        for p, i in zip(pids.tolist(), idxs.tolist()):
+            self.pt_obs[p][kf] = i
+        self.kf_point[kf][idxs] = pids
+
     def erase_observation(self, pid: int, kf: int):
         idx = self.pt_obs[pid].pop(kf, None)
         self._obs_del(pid, kf)
@@ -469,8 +490,14 @@ class SlamMap:
         self.pt_nobs[pid] = 0
         self.pt_valid.discard(pid)
 
-    def replace_point(self, pid: int, by: int):
-        """MapPoint::Replace — merge pid into `by`, keeping stats."""
+    def replace_point(self, pid: int, by: int, refresh_desc: bool = True):
+        """MapPoint::Replace — merge pid into `by`, keeping stats.
+
+        refresh_desc=False defers the distinctive-descriptor update:
+        bulk merge passes (fusion, loop correction) refresh the whole
+        batch once at the end via compute_distinctive_descriptors_batch —
+        the per-merge refresh was the dominant host cost of a loop
+        correction (r3 on-chip: a fusion pass spent minutes in it)."""
         if pid == by or pid not in self.pt_valid:
             return
         for kf, idx in list(self.pt_obs[pid].items()):
@@ -486,7 +513,8 @@ class SlamMap:
         self.pt_nobs[pid] = 0
         self.pt_valid.discard(pid)
         self.pt_replaced[pid] = by
-        self.compute_distinctive_descriptor(by)
+        if refresh_desc:
+            self.compute_distinctive_descriptor(by)
         # the survivor's descriptor changed: invalidate device-resident
         # candidate caches keyed on `version` (cache contract, tracking.py)
         self.version += 1

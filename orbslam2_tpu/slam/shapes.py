@@ -46,15 +46,17 @@ class ShapePolicy:
     #: epipolar-triangulation neighbor axis (stereo walks 10; mono's 20
     #: only runs under the pow2 policy)
     neighbor_cap: int = 16
-    #: fuse target-keyframe axis (1st+2nd covisibility ring)
-    fuse_targets_cap: int = 32
+    #: fuse target-keyframe axis (1st+2nd covisibility ring; the
+    #: reference walks up to ~35, capped here to bound the launch)
+    fuse_targets_cap: int = 16
     #: bundle adjustment tiers (K keyframes, P points, D obs slots):
     #: the solver compiles once per tier (both precompiled); the small
     #: tier keeps steady-state local BA ~9x cheaper on-device than the
     #: merged-map tier (measured r3: 4 ms vs 36 ms per LM iteration)
     ba_tiers: tuple = ((64, 8192, 8), (128, 16384, 16))
-    #: Sim3 correspondence rows (loop closing)
-    sim3_cap: int = 1024
+    #: Sim3 correspondence rows (loop closing): base BoW matches plus the
+    #: guided-search extension can reach ~2x n_features
+    sim3_cap: int = 4096
     #: essential-graph vertices / edges
     pg_k_cap: int = 256
     pg_e_cap: int = 1024

@@ -342,8 +342,15 @@ class Tracker:
             np.clip(np.rint(np.asarray(im_right)), 0, 255),
         ]).astype(np.uint8)
         if self._can_fuse():
-            if self.pipelined:
+            # adaptive pipelining: hide the device round trip only while
+            # support is comfortable — the one-frame lag costs matches,
+            # which is affordable at 200+ inliers and fatal at 60
+            if (
+                self.pipelined
+                and self.n_inliers >= self.config.pipeline_min_inliers
+            ):
                 return self._track_pipelined(images_u8, timestamp)
+            self.flush_pipeline()
             with self.map.lock:
                 args, aux = self._assemble_fused(images_u8)
             with self._span("Fused frame step"):

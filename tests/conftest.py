@@ -8,6 +8,11 @@ tests validate numerics and the multi-chip sharding paths on host CPU
 import os
 import sys
 
+# single-threaded BLAS: threaded-OpenBLAS spin-waits pathologically slow
+# small matmuls when the pipeline's worker threads are busy (see bench.py)
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
