@@ -43,9 +43,11 @@ class ShapePolicy:
     fuse_pt_cap: int = 4096
     #: forward-fuse source rows (<= n_features, padded)
     fuse_src_cap: int = 2048
-    #: epipolar-triangulation neighbor axis (stereo walks 10; mono's 20
-    #: only runs under the pow2 policy)
-    neighbor_cap: int = 16
+    #: epipolar-triangulation neighbor axis — exactly the reference's 10
+    #: best covisible neighbors for stereo (LocalMapping.cpp:152); padding
+    #: past 10 was 37% wasted vmap lanes in the creation program (r3
+    #: on-chip: 270 ms/keyframe, the largest mapping-thread device cost)
+    neighbor_cap: int = 10
     #: fuse target-keyframe axis (1st+2nd covisibility ring; the
     #: reference walks up to ~35, capped here to bound the launch)
     fuse_targets_cap: int = 16
