@@ -154,6 +154,12 @@ def main():
         orb=OrbConfig(n_features=1200),
         # ONE shape per device program: zero recompiles after warmup
         shapes=ShapePolicy(fixed=True),
+        # hide the ~100 ms tunnel round trip of the fused frame step
+        # behind the next frame's work (sequential dispatch+fetch caps
+        # tracking at ~1/RTT); the adaptive gate falls back to the
+        # synchronous step whenever inlier support is thin, so losses/
+        # relocalization behave like the sequential pipeline
+        pipelined_tracking=True,
     )
 
     # train a small vocabulary for place recognition (offline step in the

@@ -409,7 +409,7 @@ class LoopCloser:
         into kf1 under S12 and vice versa; keep pairs both directions
         agree on. Returns kf1 feature idx -> kf2 point id."""
         m = self.map
-        with self.lock:
+        with self._span("Sim3 guided lock"), self.lock:
             if kf1 not in m.kf_valid or kf2 not in m.kf_valid:
                 return {}
             T1 = m.kf_pose[kf1].astype(np.float64)
@@ -430,12 +430,14 @@ class LoopCloser:
 
         if pids1.size == 0 or pids2.size == 0:
             return {}
-        m12 = project_points(kf1, S1w, pids2)  # kf1 feat -> kf2 pid
-        m21 = project_points(kf2, S2w, pids1)  # kf2 feat -> kf1 pid
+        with self._span("Sim3 guided proj12"):
+            m12 = project_points(kf1, S1w, pids2)  # kf1 feat -> kf2 pid
+        with self._span("Sim3 guided proj21"):
+            m21 = project_points(kf2, S2w, pids1)  # kf2 feat -> kf1 pid
         # mutual agreement: kf1 feat i (point pid1) matched to pid2 whose
         # kf2 feature matched back to pid1
         out = {}
-        with self.lock:
+        with self._span("Sim3 guided mutual"), self.lock:
             if kf1 not in m.kf_valid or kf2 not in m.kf_valid:
                 return {}
             kf1_pts = m.kf_point[kf1]
