@@ -49,6 +49,11 @@ class Relocalizer:
             lambda d, v: bow_mod.transform_words(vocab, d, v)
         )
         self._word_weight_np = np.asarray(vocab.word_weight)
+        #: per-attempt gate trace (the RELOC_TRACE.json artifact): which of
+        #: the reference's gates (DB candidates -> BoW matches -> EPnP
+        #: inliers -> pose-opt -> widening, src/Tracking.cpp:1177-1346)
+        #: killed each attempt. Bounded: callers truncate on write-out.
+        self.trace: list = []
         self._jit_ransac = jax.jit(pnp.pnp_ransac, static_argnames=("n_hyp",))
         from ..ops import mlpnp as mlpnp_mod
 
@@ -127,13 +132,20 @@ class Relocalizer:
         candidates = self.database.detect_relocalization_candidates(
             words, vec, self.map
         )
+        rec = {"frame": int(frame.frame_id), "n_db_cands": len(candidates),
+               "cands": [], "ok": False}
+        self.trace.append(rec)
         if not candidates:
+            rec["stage"] = "db_candidates"
             return False
         if self.solver != "mlpnp":
-            return self._relocalize_batched(frame, candidates)
-        return self._relocalize_sequential(frame, candidates)
+            ok = self._relocalize_batched(frame, candidates, rec)
+        else:
+            ok = self._relocalize_sequential(frame, candidates)
+        rec["ok"] = bool(ok)
+        return ok
 
-    def _relocalize_batched(self, frame: FrameHost, candidates) -> bool:
+    def _relocalize_batched(self, frame: FrameHost, candidates, rec=None) -> bool:
         """All candidates solved in ONE device program (BoW match +
         hypothesis-parallel EPnP each), then the winner is refined with
         pose optimization + the reference's two widening passes
@@ -184,7 +196,14 @@ class Relocalizer:
         # batched equivalent)
         for c in np.argsort(-n_inls):
             c = int(c)
+            if c >= len(cands):  # zero-padded candidate rows
+                continue
+            crec = {"kf": int(cands[c]), "n_bow": int(n_bow[c]),
+                    "n_pnp": int(n_inls[c])}
+            if rec is not None:
+                rec["cands"].append(crec)
             if n_bow[c] < 15 or n_inls[c] < 10:
+                crec["stage"] = "bow" if n_bow[c] < 15 else "pnp"
                 continue
             Tcw = np.eye(4, dtype=np.float32)
             Tcw[:3, :3] = Rs[c]
@@ -195,14 +214,19 @@ class Relocalizer:
                 sel, kf_pids_all[c][np.clip(src[c], 0, N - 1)], -1
             )
             n_good = self._optimize(frame)
+            crec["n_opt"] = int(n_good)
             if n_good < 10:
+                crec["stage"] = "pose_opt"
                 continue
             if n_good < 50:
                 n_good = self._widen(frame, cands[c], th=10.0, orb_dist=100)
                 if 30 <= n_good < 50:
                     n_good = self._widen(frame, cands[c], th=3.0, orb_dist=64)
+            crec["n_widen"] = int(n_good)
             if n_good >= 50:
+                crec["stage"] = "accepted"
                 return True
+            crec["stage"] = "widen"
         return False
 
     def _relocalize_sequential(self, frame: FrameHost, candidates) -> bool:

@@ -44,9 +44,13 @@ class ShapePolicy:
     #: forward-fuse source rows (<= n_features, padded)
     fuse_src_cap: int = 2048
     #: epipolar-triangulation neighbor axis — exactly the reference's 10
-    #: best covisible neighbors for stereo (LocalMapping.cpp:152); padding
-    #: past 10 was 37% wasted vmap lanes in the creation program (r3
-    #: on-chip: 270 ms/keyframe, the largest mapping-thread device cost)
+    #: best covisible neighbors for stereo (GetBestCovisibilityKeyFrames(10),
+    #: LocalMapping.cpp:200); padding past 10 was 37% wasted vmap lanes in
+    #: the creation program (r3 on-chip: 270 ms/keyframe, the largest
+    #: mapping-thread device cost). NOTE: mono requests 20 neighbors
+    #: (nn=20, LocalMapping.cpp:200); fixed mode truncates that walk to
+    #: this cap (local_mapping.py active[:K]) — only the pow2 policy runs
+    #: the full 20-neighbor mono walk (documented deviation).
     neighbor_cap: int = 10
     #: fuse target-keyframe axis (1st+2nd covisibility ring; the
     #: reference walks up to ~35, capped here to bound the launch)
