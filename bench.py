@@ -141,10 +141,14 @@ def main():
         else None
     )
 
-    # EuRoC-scale circuit world: 752x480 stereo, loop closure at the end
+    # EuRoC-scale circuit world: 752x480 stereo, loop closure at the end.
+    # Photometric realism (sensor noise + exposure drift) exercises the
+    # FAST 20->7 fallback and descriptor-stability paths real imagery
+    # does (VERDICT r4 task 7).
     world = SyntheticWorld(
         n_points=2000, seed=21, baseline=0.2, vertical_extent=6.0,
         cylinder_radius=11.0, near_fraction=0.15,
+        noise_sigma=2.5, exposure_drift=0.10,
     )
     cfg = SlamConfig(
         camera=CameraConfig(
@@ -164,26 +168,30 @@ def main():
         pipelined_tracking=False,
     )
 
-    # train a small vocabulary for place recognition (offline step in the
-    # reference: ORBvoc.txt is loaded at startup, System.cpp:38-39)
+    # production-style vocabulary: load the pre-built cached tree (the
+    # reference likewise loads a pre-trained ORBvoc.txt at startup,
+    # System.cpp:38-39; tools/build_vocab.py is the offline training
+    # step — k=10 depth=4, ~10k words). Fallback: train a small one.
     from orbslam2_tpu.slam.frontend import Frontend
+    from orbslam2_tpu.vocab import bow as bow_mod
 
     fe = Frontend(cfg)
-    descs, docs = [], []
-    for d, T in enumerate(world.trajectory_circuit(16)):
-        imL, _ = world.render_stereo(T)
-        f = fe.process(imL, imL)
-        v = np.asarray(f.valid)
-        dd = np.asarray(f.desc)[v][:600]
-        descs.append(np.ascontiguousarray(dd).view(np.uint8))
-        docs.append(np.full(len(dd), d))
-    # k=8 depth=4 (4096 words): a 512-word vocabulary scored every
-    # keyframe pair near-equal on this world and place recognition
-    # surfaced mid-map candidates (r3 LOOP_TRACE: 200 rejections, all
-    # n_bow<5). ORBvoc-scale discrimination needs word count >> places.
-    voc = train.train_vocabulary(
-        np.concatenate(descs), k=8, depth=4, doc_ids=np.concatenate(docs)
-    )
+    vocab_path = os.path.join(REPO, "assets", "vocab_circuit.npz")
+    if os.path.exists(vocab_path):
+        voc = bow_mod.load_npz(vocab_path)
+        print(f"# vocab: {voc.n_words} words (cached)", file=sys.stderr)
+    else:  # pragma: no cover - assets/ is committed
+        descs, docs = [], []
+        for d, T in enumerate(world.trajectory_circuit(16)):
+            imL, _ = world.render_stereo(T)
+            f = fe.process(imL, imL)
+            v = np.asarray(f.valid)
+            dd = np.asarray(f.desc)[v][:600]
+            descs.append(np.ascontiguousarray(dd).view(np.uint8))
+            docs.append(np.full(len(dd), d))
+        voc = train.train_vocabulary(
+            np.concatenate(descs), k=8, depth=4, doc_ids=np.concatenate(docs)
+        )
 
     # 1.1 laps: the final ~24 frames revisit the start so the loop
     # detector's 3-consecutive-keyframe consistency chain has room to
@@ -195,6 +203,20 @@ def main():
     frames = [world.render_stereo(T) for T in poses_gt]  # dataset "IO"
 
     parity = write_frontend_parity(fe, *frames[0])
+
+    # extractor statistics on a representative frame (features per level,
+    # FAST 20->7 fallback share — reference ORBextractor.cpp:702-766)
+    f0 = jax.device_get(fe.process(*frames[0]))
+    v0 = f0.valid
+    lvl_counts = np.bincount(f0.octave[v0], minlength=cfg.orb.n_levels)
+    fallback_rate = float((f0.response[v0] <= cfg.orb.ini_th_fast).sum()) / max(
+        int(v0.sum()), 1
+    )
+    print(
+        f"# extractor: kps={int(v0.sum())} per_level={lvl_counts.tolist()} "
+        f"fast_fallback_rate={fallback_rate:.2f}",
+        file=sys.stderr,
+    )
 
     # ONE System for warmup + timed run: warmup frames compile the
     # per-frame programs (the fixed shape policy pins their buckets), the

@@ -153,12 +153,19 @@ def main():
             artifact["caveat"] = note
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "DIST_BA_SCALING.json",
+        "DIST_SCALING.json",
     )
     import json
 
+    # merge under a per-platform key so the CPU-mesh scaling run and the
+    # real-chip absolute-time run accumulate into one artifact
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged[artifact["device"]] = artifact
     with open(out_path, "w") as f:
-        json.dump(artifact, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(f"artifact written to {out_path}")
 
 

@@ -42,6 +42,12 @@ class SyntheticWorld:
     #: which the reference's need_close keyframe rule (Tracking.cpp:
     #: 846-861) fires on every frame — real scenes have foreground
     near_fraction: float = 0.0
+    #: photometric realism (VERDICT r4 task 7): per-frame sensor noise
+    #: sigma (grey levels) and slow exposure (gain) drift amplitude —
+    #: exercises the FAST 20->7 fallback and descriptor stability the way
+    #: real imagery does (reference ORBextractor.cpp:702-766)
+    noise_sigma: float = 0.0
+    exposure_drift: float = 0.0
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -223,6 +229,17 @@ class SyntheticWorld:
         # razor-sharp synthetic edges flip descriptor bits frame to frame.
         imL = ndimage.gaussian_filter(imL, 0.8)
         imR = ndimage.gaussian_filter(imR, 0.8)
+        if self.noise_sigma > 0 or self.exposure_drift > 0:
+            idx = self._n_rendered = getattr(self, "_n_rendered", 0) + 1
+            rng2 = np.random.default_rng((self.seed << 20) ^ idx)
+            gain = 1.0 + self.exposure_drift * np.sin(2 * np.pi * idx / 97.0)
+            imL = imL * gain
+            imR = imR * gain
+            if self.noise_sigma > 0:
+                imL = imL + rng2.normal(0.0, self.noise_sigma, imL.shape)
+                imR = imR + rng2.normal(0.0, self.noise_sigma, imR.shape)
+            imL = np.clip(imL, 0.0, 255.0)
+            imR = np.clip(imR, 0.0, 255.0)
         if return_id_map:
             return imL.astype(np.float32), imR.astype(np.float32), id_map
         return imL.astype(np.float32), imR.astype(np.float32)

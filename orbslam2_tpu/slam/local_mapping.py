@@ -127,7 +127,13 @@ class LocalMapper:
             use_s1 = ~use_tri & s1 & (cos_st1 < cos_st2)
             use_s2 = ~use_tri & ~use_s1 & s2m & (cos_st2 < cos_st1)
 
-            # DLT 4x4 system; nullspace via eigh of A^T A (batched)
+            # DLT 4x4 system (reference builds the same rows and takes the
+            # SVD nullspace, LocalMapping.cpp:292-320). Finite points have
+            # w != 0, so the inhomogeneous 3x3 normal-equation solve
+            # B x = -b (B = A[:, :3], b = A[:, 3]) gives the same point —
+            # and costs 2 ms where the batched 4x4 eigh cost 44 ms on-chip
+            # (tools/profile_eigh.py). Parallax (use_tri) and chi2 gates
+            # below reject the ill-conditioned cases either way.
             A = jnp.stack(
                 [
                     xn1[:, 0:1] * T1[2, :] - T1[0, :],
@@ -137,11 +143,31 @@ class LocalMapper:
                 ],
                 axis=1,
             )  # [N,4,4]
-            AtA = _eins("nij,nik->njk", A, A)
-            _, V = jnp.linalg.eigh(AtA)
-            h = V[..., :, 0]  # smallest-eigenvalue eigenvector
-            h_ok = jnp.abs(h[:, 3]) >= 1e-12
-            x_tri = h[:, :3] / jnp.where(h_ok, h[:, 3], 1.0)[:, None]
+            B = A[..., :3]
+            bb = A[..., 3]
+            BtB = _eins("nij,nik->njk", B, B)
+            Btb = _eins("nij,ni->nj", B, bb)
+            mm = BtB
+            c00 = mm[:, 1, 1] * mm[:, 2, 2] - mm[:, 1, 2] * mm[:, 2, 1]
+            c10 = mm[:, 1, 2] * mm[:, 2, 0] - mm[:, 1, 0] * mm[:, 2, 2]
+            c20 = mm[:, 1, 0] * mm[:, 2, 1] - mm[:, 1, 1] * mm[:, 2, 0]
+            c01 = mm[:, 0, 2] * mm[:, 2, 1] - mm[:, 0, 1] * mm[:, 2, 2]
+            c11 = mm[:, 0, 0] * mm[:, 2, 2] - mm[:, 0, 2] * mm[:, 2, 0]
+            c21 = mm[:, 0, 1] * mm[:, 2, 0] - mm[:, 0, 0] * mm[:, 2, 1]
+            c02 = mm[:, 0, 1] * mm[:, 1, 2] - mm[:, 0, 2] * mm[:, 1, 1]
+            c12 = mm[:, 0, 2] * mm[:, 1, 0] - mm[:, 0, 0] * mm[:, 1, 2]
+            c22 = mm[:, 0, 0] * mm[:, 1, 1] - mm[:, 0, 1] * mm[:, 1, 0]
+            det = mm[:, 0, 0] * c00 + mm[:, 0, 1] * c10 + mm[:, 0, 2] * c20
+            h_ok = jnp.abs(det) >= 1e-18
+            inv = jnp.stack(
+                [
+                    jnp.stack([c00, c01, c02], -1),
+                    jnp.stack([c10, c11, c12], -1),
+                    jnp.stack([c20, c21, c22], -1),
+                ],
+                axis=1,
+            ) / jnp.where(h_ok, det, 1.0)[:, None, None]
+            x_tri = -_eins("nij,nj->ni", inv, Btb)
 
             def unproject(uv, dep, Twc):
                 pc = jnp.stack(

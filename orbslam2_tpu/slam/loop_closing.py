@@ -90,6 +90,37 @@ class LoopCloser:
             sim3solve.sim3_ransac, static_argnames=("fix_scale", "n_hyp")
         )
         self._jit_match_bow = jax.jit(matchers.search_by_bow)
+
+        # ALL Sim3 candidates' BoW matching as ONE unlocked device program
+        # (the per-candidate matching used to run inside the map lock and
+        # was the bulk of the 'Sim3 detection' span on-chip — r4 profile:
+        # 790 ms mean x 96 attempts, ~all rejected at the >=20 gate).
+        # Candidate tuples stack INSIDE the jit; collision resolution
+        # (best-distance-wins per kf2 feature) is vectorized on device.
+        def _bow_batch(desc1, has1, ang1, descs2, has2s, angs2):
+            d2 = jnp.stack(descs2)
+            h2 = jnp.stack(has2s)
+            a2 = jnp.stack(angs2)
+            N1 = desc1.shape[0]
+            rows1 = jnp.arange(N1, dtype=jnp.int32)
+
+            def per_cand(dc, hc, ac):
+                idx, best, keep = matchers.search_by_bow(
+                    desc1, has1, ang1, dc, hc, ac, 0.75
+                )
+                d_eff = jnp.where(keep, best, hamming.MAX_DIST)
+                src2, _ = matchers._resolve_collisions(
+                    idx, d_eff, dc.shape[0]
+                )
+                C = matchers._choice_matrix(idx, dc.shape[0])
+                win = keep & jnp.any(
+                    C & (src2[None, :] == rows1[:, None]), axis=1
+                )
+                return idx, win
+
+            return jax.vmap(per_cand)(d2, h2, a2)
+
+        self._jit_bow_batch = jax.jit(_bow_batch)
         self._jit_opt_sim3 = jax.jit(
             sim3solve.optimize_sim3, static_argnames=("fix_scale", "n_iters")
         )
@@ -182,37 +213,56 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
 
-    def _bow_match_points(self, kf1: int, kf2: int) -> Dict[int, int]:
-        """SearchByBoW(KF, KF) equivalent: feature idx in kf1 -> pid of kf2."""
-        f1 = self.map.kf_frame[kf1]
-        f2 = self.map.kf_frame[kf2]
-        p1 = self.map.kf_point[kf1]
-        p2 = self.map.kf_point[kf2]
-        has1 = (p1 >= 0) & f1.valid
-        has2 = (p2 >= 0) & f2.valid
-        idx, best, keep = jax.device_get(
-            self._jit_match_bow(
-                f1.dev.desc, jnp.asarray(has1), f1.dev.angle,
-                f2.dev.desc, jnp.asarray(has2), f2.dev.angle, 0.75,
+    def _compute_sim3(self, kf: int) -> bool:
+        """ComputeSim3 over all consistent candidates (reference
+        LoopClosing.cpp:218-385). Phase 1 snapshots every candidate's
+        features under the map lock and runs ONE batched BoW-match device
+        program unlocked; phase 2 walks candidates through the Sim3
+        RANSAC / guided-search / LM / projection gates."""
+        with self.lock:
+            if kf not in self.map.kf_valid:
+                return False
+            f1 = self.map.kf_frame[kf]
+            p1 = self.map.kf_point[kf].copy()
+            has1 = (p1 >= 0) & f1.valid
+            snap = []
+            for cand in self._candidates:
+                if cand not in self.map.kf_valid:
+                    continue
+                f2 = self.map.kf_frame[cand]
+                p2 = self.map.kf_point[cand].copy()
+                snap.append((
+                    cand, f2.dev.desc, (p2 >= 0) & f2.valid,
+                    f2.dev.angle, p2,
+                ))
+        if not snap:
+            return False
+        # pad the candidate axis to a fixed bucket (repeat row 0 with an
+        # all-false mask) so the batched program compiles once
+        C = self.shapes.bucket_select(len(snap), 2, 8)
+        snap = snap[:C]
+        pad = C - len(snap)
+        descs = tuple(s[1] for s in snap) + (snap[0][1],) * pad
+        has2s = tuple(s[2] for s in snap) + (
+            (np.zeros_like(snap[0][2]),) * pad
+        )
+        angs = tuple(s[3] for s in snap) + (snap[0][3],) * pad
+        idxs, wins = jax.device_get(
+            self._jit_bow_batch(
+                f1.dev.desc, has1, f1.dev.angle, descs, has2s, angs
             )
         )
-        out = {}
-        used = set()
-        for i in np.argsort(best):
-            if keep[i] and idx[i] not in used:
-                pid = int(p2[idx[i]])
+        for c, (cand, _, _, _, p2) in enumerate(snap):
+            matches = {}
+            for i in np.nonzero(wins[c])[0]:
+                pid = int(p2[idxs[c][i]])
                 if pid in self.map.pt_valid:
-                    out[int(i)] = pid
-                    used.add(idx[i])
-        return out
-
-    def _compute_sim3(self, kf: int) -> bool:
-        for cand in self._candidates:
-            if self._try_sim3_candidate(kf, cand):
+                    matches[int(i)] = pid
+            if self._try_sim3_candidate(kf, cand, matches):
                 return True
         return False
 
-    def _try_sim3_candidate(self, kf: int, cand: int) -> bool:
+    def _try_sim3_candidate(self, kf: int, cand: int, matches) -> bool:
         """One candidate of the reference's ComputeSim3 loop (LoopClosing.
         cpp:218-385). Host map reads hold the map lock; the Sim3 RANSAC
         and LM refinement device solves run unlocked (the tracker keeps
@@ -228,15 +278,14 @@ class LoopCloser:
             )
             return False
 
+        if len(matches) < 20:
+            return reject("bow_matches", n_bow=len(matches))
         with self.lock:
             if cand not in self.map.kf_valid or kf not in self.map.kf_valid:
                 return reject("kf_culled")
             f1 = self.map.kf_frame[kf]
             T1 = self.map.kf_pose[kf].astype(np.float64)
             p1 = self.map.kf_point[kf]
-            matches = self._bow_match_points(kf, cand)
-            if len(matches) < 20:
-                return reject("bow_matches", n_bow=len(matches))
             idxs = sorted(matches)
             N = sh.bucket(len(idxs), 256, sh.sim3_cap)
             X1 = np.zeros((N, 3), np.float32)
@@ -251,7 +300,9 @@ class LoopCloser:
             for r, i in enumerate(idxs):
                 pid1 = int(p1[i])
                 pid2 = matches[i]
-                if pid1 not in self.map.pt_valid:
+                # matches were built from an unlocked snapshot: re-validate
+                # both point ids under the lock
+                if pid1 not in self.map.pt_valid or pid2 not in self.map.pt_valid:
                     continue
                 w1 = self.map.pt_pos[pid1]
                 w2 = self.map.pt_pos[pid2]

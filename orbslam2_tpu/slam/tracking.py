@@ -67,6 +67,14 @@ class Tracker:
         self.relocalizer = None  # wired by System once place recognition exists
         self.timers = None  # StageTimers, wired by System
         self.last_images = None  # last stereo pair (for shutdown profiling)
+        #: per-condition keyframe-insertion counts (diagnostics)
+        self.kf_trigger_counts: dict = {}
+        #: state-transition breadcrumbs (diagnostics; low volume — one
+        #: entry per tracking failure, recording which gate failed with
+        #: its counts, so a lost run is diagnosable from the artifact)
+        self.events: List[dict] = []
+        #: (frame, n_match1, n_keep1, n_new_local, n_inliers) ring buffer
+        self.fused_stats: List[tuple] = []
 
         N = config.orb.n_features
         self._N = N
@@ -837,6 +845,9 @@ class Tracker:
         src_pids = aux["src_pids"]
         cand_ids = aux["cand_ids"]
         if int(host["n_match1"]) < 20:
+            self.events.append(dict(
+                frame=frame.frame_id, gate="fused_motion_matches",
+                n=int(host["n_match1"])))
             return "motion_fail"
 
         frame.Tcw = np.asarray(host["Tcw"]).copy()
@@ -863,7 +874,11 @@ class Tracker:
 
         # motion-stage map support (reference TrackWithMotionModel >= 10)
         mk = k1 & (frame.point_ids >= 0)
-        if int((m.pt_nobs[frame.point_ids[mk]] > 0).sum()) < 10:
+        n_map1 = int((m.pt_nobs[frame.point_ids[mk]] > 0).sum())
+        if n_map1 < 10:
+            self.events.append(dict(
+                frame=frame.frame_id, gate="fused_motion_map_support",
+                n=n_map1))
             return "motion_fail"
 
         # visibility / found statistics (reference SearchLocalPoints +
@@ -886,6 +901,13 @@ class Tracker:
         frame._close_counts = (
             int(host["n_close_tracked"]), int(host["n_close_free"]),
         )
+        # per-frame fused-step stats ring (diagnostics; bounded)
+        self.fused_stats.append((
+            frame.frame_id, int(host["n_match1"]), int(k1.sum()),
+            int((k2.sum()) if cand_ids.size else 0), self.n_inliers,
+        ))
+        if len(self.fused_stats) > 400:
+            del self.fused_stats[:200]
         # local map for the NEXT frame's candidate cache (the fused step
         # matched against the previous frame's local map — a one-frame lag
         # the reference does not have; documented deviation)
@@ -895,8 +917,16 @@ class Tracker:
             frame.frame_id < self.last_reloc_frame_id + self.max_frames
             and self.n_inliers < 50
         ):
+            self.events.append(dict(
+                frame=frame.frame_id, gate="fused_postreloc_50",
+                n=self.n_inliers))
             return "lost"
-        return "ok" if self.n_inliers >= 30 else "lost"
+        if self.n_inliers < 30:
+            self.events.append(dict(
+                frame=frame.frame_id, gate="fused_local_30",
+                n=self.n_inliers))
+            return "lost"
+        return "ok"
 
     def _track_with_motion_model(self, frame: FrameHost) -> bool:
         """Reference Tracking::TrackWithMotionModel (Tracking.cpp:714-772).
@@ -959,10 +989,16 @@ class Tracker:
             else:
                 frame.point_ids[i] = pids[src]
         if int(hit.sum()) < 20:
+            self.events.append(dict(
+                frame=frame.frame_id, gate="motion_matches_20",
+                n=int(hit.sum())))
             return False
         frame.Tcw = res.Tcw
         frame.outlier = hit & ~res.inlier
         n_map = self._discard_outliers(frame)
+        if n_map < 10:
+            self.events.append(dict(
+                frame=frame.frame_id, gate="motion_map_10", n=n_map))
         return n_map >= 10
 
     def _track_reference_keyframe(self, frame: FrameHost) -> bool:
@@ -984,10 +1020,15 @@ class Tracker:
         # BoW-free SearchByBoW equivalent: mutual-ratio Hamming matching
         n = self._match_descriptors(frame, kff, desc, has_pt, kf_pids)
         if n < 15:
+            self.events.append(dict(
+                frame=frame.frame_id, gate="refkf_bow_15", n=n))
             return False
         frame.Tcw = self.last_frame.Tcw.copy()
         self._pose_optimize(frame)
         n_map = self._discard_outliers(frame)
+        if n_map < 10:
+            self.events.append(dict(
+                frame=frame.frame_id, gate="refkf_map_10", n=n_map))
         return n_map >= 10
 
     def _match_descriptors(self, frame, kff, desc, has_pt, kf_pids) -> int:
@@ -1035,8 +1076,15 @@ class Tracker:
             frame.frame_id < self.last_reloc_frame_id + self.max_frames
             and self.n_inliers < 50
         ):
+            self.events.append(dict(
+                frame=frame.frame_id, gate="local_postreloc_50",
+                n=self.n_inliers))
             return False
-        return self.n_inliers >= 30
+        if self.n_inliers < 30:
+            self.events.append(dict(
+                frame=frame.frame_id, gate="local_30", n=self.n_inliers))
+            return False
+        return True
 
     def _update_local_map(self, frame: FrameHost):
         """UpdateLocalKeyFrames + UpdateLocalPoints (Tracking.cpp:1041-1137).
@@ -1235,11 +1283,26 @@ class Tracker:
 
         if (c1a or c1b or c1c or c1d) and c2:
             if idle:
-                return True
-            if lm is not None:
+                decided = True
+            elif lm is not None:
                 lm.interrupt_ba()
-                return lm.queue_size() < 3
-            return False
+                decided = lm.queue_size() < 3
+            else:
+                decided = False
+            if decided:
+                # which condition drove the insertion (diagnostics: the
+                # r4 on-chip runs created ~1 KF per 2 frames — double the
+                # r2 rate — and mapping work dominates the chip)
+                for name, cond in (
+                    ("c1a_interval", c1a), ("c1b_idle", c1b),
+                    ("c1c_emergency", c1c), ("c1d_busy_decay", c1d),
+                    ("need_close", need_close),
+                ):
+                    if cond:
+                        self.kf_trigger_counts[name] = (
+                            self.kf_trigger_counts.get(name, 0) + 1
+                        )
+            return decided
         return False
 
     def _tracked_in_keyframe(self, kf: Optional[int], min_obs: int) -> int:

@@ -33,6 +33,15 @@ def main():
     ap.add_argument("--frames", type=int, default=240, help="frames per lap")
     ap.add_argument("--vocab-depth", type=int, default=4)
     ap.add_argument("--vocab-k", type=int, default=8)
+    ap.add_argument("--cached-vocab", type=int, default=1,
+                    help="load assets/vocab_circuit.npz when present")
+    ap.add_argument("--blackout", type=int, default=-1,
+                    help="feed 3 noise frames at this index (induced "
+                         "loss; measures relocalization recovery)")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="world photometric noise sigma (bench uses 2.5)")
+    ap.add_argument("--exposure", type=float, default=0.0,
+                    help="world exposure-drift amplitude (bench uses 0.1)")
     ap.add_argument("--out-prefix", type=str, default="DIAG")
     args = ap.parse_args()
 
@@ -56,6 +65,7 @@ def main():
     world = SyntheticWorld(
         n_points=2000, seed=21, baseline=0.2, vertical_extent=6.0,
         cylinder_radius=11.0, near_fraction=0.15,
+        noise_sigma=args.noise, exposure_drift=args.exposure,
     )
     cfg = SlamConfig(
         camera=CameraConfig(
@@ -68,25 +78,53 @@ def main():
     )
 
     fe = Frontend(cfg)
-    descs, docs = [], []
-    for d, T in enumerate(world.trajectory_circuit(16)):
-        imL, _ = world.render_stereo(T)
-        f = fe.process(imL, imL)
-        v = np.asarray(f.valid)
-        dd = np.asarray(f.desc)[v][:600]
-        descs.append(np.ascontiguousarray(dd).view(np.uint8))
-        docs.append(np.full(len(dd), d))
-    voc = train.train_vocabulary(
-        np.concatenate(descs), k=args.vocab_k, depth=args.vocab_depth,
-        doc_ids=np.concatenate(docs),
-    )
+    vocab_path = os.path.join(REPO, "assets", "vocab_circuit.npz")
+    if args.cached_vocab and os.path.exists(vocab_path):
+        from orbslam2_tpu.vocab import bow as bow_mod
+
+        voc = bow_mod.load_npz(vocab_path)
+    else:
+        descs, docs = [], []
+        for d, T in enumerate(world.trajectory_circuit(16)):
+            imL, _ = world.render_stereo(T)
+            f = fe.process(imL, imL)
+            v = np.asarray(f.valid)
+            dd = np.asarray(f.desc)[v][:600]
+            descs.append(np.ascontiguousarray(dd).view(np.uint8))
+            docs.append(np.full(len(dd), d))
+        voc = train.train_vocabulary(
+            np.concatenate(descs), k=args.vocab_k, depth=args.vocab_depth,
+            doc_ids=np.concatenate(docs),
+        )
     print(f"# vocab: {voc.n_words} words", flush=True)
 
     lap = world.trajectory_circuit(args.frames)
     extra = int(round(args.frames * (args.laps - 1.0)))
     poses_gt = lap + lap[:extra]
     n_frames = len(poses_gt)
-    frames = [world.render_stereo(T) for T in poses_gt]
+    # render cache: the painter-algorithm rendering of 264 frames costs
+    # ~8 min on this 2-core host; the frames are deterministic in
+    # (world seed, frame count) so cache them on disk across diag runs
+    cache_f = os.path.join(
+        REPO, ".render_cache",
+        f"circuit_s21_{args.frames}_{args.laps:.2f}_{args.noise:g}_{args.exposure:g}.npz",
+    )
+    if os.path.exists(cache_f):
+        z = np.load(cache_f)
+        frames = [(z["L"][i], z["R"][i]) for i in range(z["L"].shape[0])]
+    else:
+        frames = [world.render_stereo(T) for T in poses_gt]
+        os.makedirs(os.path.dirname(cache_f), exist_ok=True)
+        np.savez(
+            cache_f,
+            L=np.stack([f[0] for f in frames]),
+            R=np.stack([f[1] for f in frames]),
+        )
+    if args.blackout >= 0:
+        rng = np.random.default_rng(0)
+        noise = rng.uniform(0, 255, frames[0][0].shape).astype(np.float32)
+        for j in range(args.blackout, min(args.blackout + 3, n_frames)):
+            frames[j] = (noise, noise)
     gt_xyz_all = np.stack([(-T[:3, :3].T @ T[:3, 3]) for T in poses_gt])
 
     sys_ = System(voc, cfg, threaded=bool(args.threaded))
@@ -111,6 +149,9 @@ def main():
                 f"kfs={sys_.map.n_keyframes()}",
                 flush=True,
             )
+            if st == "LOST":
+                for row in sys_.tracker.fused_stats[-12:]:
+                    print(f"    fused(frame,m1,k1,k2,inl)={row}", flush=True)
             last_state = st
         if i % 40 == 0:
             print(
@@ -162,6 +203,9 @@ def main():
         f"loops={n_loops} kfs={sys_.map.n_keyframes()} "
         f"reloc_attempts={len(rtrace)} fps={n_frames/dt:.2f} wall={dt:.1f}s"
     )
+    print(f"kf_triggers: {sys_.tracker.kf_trigger_counts}")
+    for e in sys_.tracker.events[-40:]:
+        print(f"  event: {e}")
     print(sys_.shutdown(), file=sys.stderr)
 
 
