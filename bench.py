@@ -136,7 +136,9 @@ def main():
     # count compiles; the timed window must observe ZERO
     compile_events = []
     jax.monitoring.register_event_duration_secs_listener(
-        lambda name, secs, **kw: compile_events.append((name, secs))
+        lambda name, secs, **kw: compile_events.append(
+            (name, secs, time.perf_counter())
+        )
         if "backend_compile" in name
         else None
     )
@@ -148,7 +150,7 @@ def main():
     world = SyntheticWorld(
         n_points=2000, seed=21, baseline=0.2, vertical_extent=6.0,
         cylinder_radius=11.0, near_fraction=0.15,
-        noise_sigma=2.5, exposure_drift=0.10,
+        noise_sigma=1.5, exposure_drift=0.05,
     )
     cfg = SlamConfig(
         camera=CameraConfig(
@@ -275,6 +277,23 @@ def main():
     gt_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for T, _ in pairs])
     est_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for _, T in pairs])
     rmse = ate_rmse(est_xyz, gt_xyz)
+    # OFFLINE trajectory ATE: per-frame pose reconstructed relative to the
+    # CURRENT (loop-corrected, GBA-adjusted) keyframe poses — the
+    # reference's second evaluation axis (SaveOfflineTrajectoryTUM,
+    # System.cpp:296-362; result/OfflineCameraTrajectory_*). The online
+    # trajectory cannot benefit retroactively from a loop closure; this
+    # one shows the corrected map's accuracy.
+    from orbslam2_tpu.slam import trajectory as traj_mod
+
+    off = [
+        (g, e.Tcr.astype(np.float64)
+         @ traj_mod._resolve_reference(sys_.map, e.ref_kf))
+        for g, e in zip(poses_gt, traj)
+        if e.Tcw is not None and not e.lost
+    ]
+    off_est = np.stack([(-T[:3, :3].T @ T[:3, 3]) for _, T in off])
+    off_gt = np.stack([(-T[:3, :3].T @ T[:3, 3]) for T, _ in off])
+    rmse_off = ate_rmse(off_est, off_gt)
 
     # loop-closure gate trace artifact (why candidates were rejected),
     # annotated with the GT distance between the two keyframes' true
@@ -324,6 +343,7 @@ def main():
                 "vs_baseline": round(fps / baseline_fps, 3),
                 "tracked": f"{len(pairs)}/{n_frames}",
                 "ate_rmse_m": round(float(rmse), 3),
+                "ate_offline_m": round(float(rmse_off), 3),
                 "loops_closed": int(n_loops),
                 "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
             }
@@ -333,6 +353,7 @@ def main():
     print(
         f"# device={jax.devices()[0].platform} tracked={len(pairs)}/{n_frames} "
         f"loops_closed={n_loops} ate_rmse={rmse:.3f}m "
+        f"ate_offline={rmse_off:.3f}m "
         f"kfs={sys_.map.n_keyframes()} pts={len(sys_.map.pt_valid)} "
         f"wall={dt:.2f}s",
         file=sys.stderr,
@@ -350,6 +371,15 @@ def main():
         f"parity_ok={parity.get('ok')}",
         file=sys.stderr,
     )
+    if n_compiles_timed:
+        timed = compile_events[n_compiles_warmup:]
+        total_s = sum(e[1] for e in timed)
+        slow = sorted(timed, key=lambda e: -e[1])[:5]
+        print(
+            f"# timed-window compiles: {total_s:.1f}s total; slowest: "
+            + ", ".join(f"{e[1]:.1f}s@t+{e[2]-t0:.0f}s" for e in slow),
+            file=sys.stderr,
+        )
     fps_frontend = frontend_throughput(world, fe)
     print(
         f"# secondary stereo_frontend_fps_per_chip={fps_frontend:.1f} "

@@ -56,10 +56,13 @@ class ShapePolicy:
     #: reference walks up to ~35, capped here to bound the launch)
     fuse_targets_cap: int = 16
     #: bundle adjustment tiers (K keyframes, P points, D obs slots):
-    #: the solver compiles once per tier (both precompiled); the small
+    #: the solver compiles once per tier (all precompiled); the small
     #: tier keeps steady-state local BA ~9x cheaper on-device than the
-    #: merged-map tier (measured r3: 4 ms vs 36 ms per LM iteration)
-    ba_tiers: tuple = ((64, 8192, 8), (128, 16384, 16))
+    #: merged-map tiers (measured r3: 4 ms vs 36 ms per LM iteration).
+    #: the top tier must cover the flagship run's full map — r4's bench
+    #: map reached ~17k points (123 KFs) and overflowing 16384 forced a
+    #: 9-second mid-run GBA recompile
+    ba_tiers: tuple = ((64, 8192, 8), (160, 24576, 16))
     #: Sim3 correspondence rows (loop closing): base BoW matches plus the
     #: guided-search extension can reach ~2x n_features
     sim3_cap: int = 4096

@@ -123,7 +123,15 @@ class System:
 
     def track_stereo(self, im_left, im_right, timestamp: float):
         """Per-frame entry (reference System::TrackStereo, System.cpp:90-142).
-        Returns Tcw [4,4] or None when tracking is lost."""
+        Returns Tcw [4,4] or None when tracking is lost.
+
+        Return contract by mode (tested in test_system.py):
+        default (synchronous) — the frame's SOLVED pose, matching the
+        reference's TrackStereo -> Isometry3f contract exactly;
+        config.pipelined_tracking=True — the motion-model PREDICTION for
+        the new frame (its device step is still in flight); the solved
+        pose is recorded in the trajectory when the next frame applies
+        it, one frame later."""
         with self.timers.span("Total tracking"):
             Tcw = self.tracker.track(im_left, im_right, timestamp)
         if self.viewer is not None:

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--exposure", type=float, default=0.0,
                     help="world exposure-drift amplitude (bench uses 0.1)")
     ap.add_argument("--out-prefix", type=str, default="DIAG")
+    ap.add_argument("--trace-compiles", action="store_true",
+                    help="print the host stack of every backend compile "
+                         "after warmup (finds eager-dispatch leaks)")
     args = ap.parse_args()
 
     import jax
@@ -127,6 +130,25 @@ def main():
             frames[j] = (noise, noise)
     gt_xyz_all = np.stack([(-T[:3, :3].T @ T[:3, 3]) for T in poses_gt])
 
+    trace_on = [False]
+    if args.trace_compiles:
+        import traceback
+
+        def _on_event(name, secs, **kw):
+            if "backend_compile" not in name or not trace_on[0]:
+                return
+            frames = [
+                f for f in traceback.extract_stack()
+                if "/orbslam2_tpu/" in f.filename or "diag_bench" in f.filename
+            ]
+            where = " <- ".join(
+                f"{os.path.basename(f.filename)}:{f.lineno}:{f.name}"
+                for f in frames[-4:]
+            )
+            print(f"COMPILE {secs:.2f}s [{where}]", flush=True)
+
+        jax.monitoring.register_event_duration_secs_listener(_on_event)
+
     sys_ = System(voc, cfg, threaded=bool(args.threaded))
     t0 = time.perf_counter()
     sys_.precompile()
@@ -137,6 +159,7 @@ def main():
     print(f"# warmup {time.perf_counter()-t0:.1f}s", flush=True)
     sys_.reset()
 
+    trace_on[0] = True
     last_state = None
     t0 = time.perf_counter()
     for i, (imL, imR) in enumerate(frames):
@@ -171,6 +194,18 @@ def main():
     gt_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for T, _ in solved])
     est_xyz = np.stack([(-T[:3, :3].T @ T[:3, 3]) for _, T in solved])
     rmse = ate_rmse(est_xyz, gt_xyz)
+    from orbslam2_tpu.slam import trajectory as traj_mod
+
+    off = [
+        (g, e.Tcr.astype(np.float64)
+         @ traj_mod._resolve_reference(sys_.map, e.ref_kf))
+        for g, e in zip(poses_gt, traj)
+        if e.Tcw is not None and not e.lost
+    ]
+    rmse_off = ate_rmse(
+        np.stack([(-T[:3, :3].T @ T[:3, 3]) for _, T in off]),
+        np.stack([(-T[:3, :3].T @ T[:3, 3]) for T, _ in off]),
+    )
     n_loops = sys_.loop_closer.n_loops_closed if sys_.loop_closer else 0
 
     # annotate loop rejections with GT seam distance (kf timestamps -> gt)
@@ -200,12 +235,34 @@ def main():
 
     print(
         f"\nRESULT tracked={len(solved)}/{n_frames} ate={rmse:.3f}m "
+        f"ate_off={rmse_off:.3f}m "
         f"loops={n_loops} kfs={sys_.map.n_keyframes()} "
         f"reloc_attempts={len(rtrace)} fps={n_frames/dt:.2f} wall={dt:.1f}s"
     )
     print(f"kf_triggers: {sys_.tracker.kf_trigger_counts}")
     for e in sys_.tracker.events[-40:]:
         print(f"  event: {e}")
+    if args.blackout >= 0:
+        # induced-loss recovery artifact (VERDICT r4 task 3): how many
+        # frames from the end of the blackout until tracking is OK again
+        lost_flags = [bool(e.lost) for e in traj]
+        end = args.blackout + 3
+        rec = next(
+            (i for i in range(end, n_frames) if not lost_flags[i]), None
+        )
+        summary = {
+            "blackout_at": args.blackout,
+            "frames_to_recover": (None if rec is None else rec - end),
+            "reloc_attempts": len(rtrace),
+            "post_recovery_lost": int(sum(lost_flags[rec:]) if rec else -1),
+            "trace_tail": rtrace[-10:],
+            "events_tail": sys_.tracker.events[-15:],
+        }
+        with open(os.path.join(REPO, "RELOC_RECOVERY.json"), "w") as f:
+            json.dump(summary, f, indent=1, default=int)
+        print(f"recovery: {summary['frames_to_recover']} frames after "
+              f"blackout, {len(rtrace)} attempts, "
+              f"post-recovery lost={summary['post_recovery_lost']}")
     print(sys_.shutdown(), file=sys.stderr)
 
 
