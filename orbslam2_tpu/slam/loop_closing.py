@@ -518,6 +518,12 @@ class LoopCloser:
             return {}
         c = self.config.camera
         R, t, s = _np_sim3(Scw)
+        # force host numpy: a device-array R/t here turns every slice and
+        # product below into an EAGER dispatch (a tunnel round trip each —
+        # the r4 eager-dispatch audit caught exactly these lines)
+        R = np.asarray(jax.device_get(R), np.float64)
+        t = np.asarray(jax.device_get(t), np.float64)
+        s = float(s)
         with self.lock:
             if kf not in self.map.kf_valid:
                 return {}

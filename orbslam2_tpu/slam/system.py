@@ -117,6 +117,10 @@ class System:
             from .viewer import Viewer
 
             self.viewer = Viewer(self)
+            # reference System.cpp:72-77 spawns the Viewer thread; the
+            # headless live loop renders both views at ~5 fps into
+            # in-memory buffers (+ PNG files when out_dir is set)
+            self.viewer.run_live()
         self._localization_only = False
 
     # ------------------------------------------------------------------
@@ -183,6 +187,8 @@ class System:
         frame's images — the report then carries all 20 reference stage
         names."""
         self.tracker.flush_pipeline()
+        if self.viewer is not None:
+            self.viewer.stop_live()
         if self.worker is not None:
             self.worker.finish()
             self.worker = None

@@ -197,8 +197,8 @@ class MapDrawer:
 
     # ---- figure assembly --------------------------------------------
 
-    def save(self, path: str, show_points=True, show_keyframes=True,
-             show_graph=True):
+    def _figure(self, show_points=True, show_keyframes=True,
+                show_graph=True):
         import matplotlib
 
         matplotlib.use("Agg")
@@ -215,6 +215,24 @@ class MapDrawer:
         ax.set_xlabel("x [m]")
         ax.set_ylabel("z [m]")
         ax.legend(loc="upper right", fontsize=8)
+        return fig
+
+    def render_array(self, **kw) -> np.ndarray:
+        """Render the map view to an RGB array (the live viewer's frame
+        buffer — the headless analog of the Pangolin framebuffer)."""
+        import matplotlib.pyplot as plt
+
+        fig = self._figure(**kw)
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+        plt.close(fig)
+        return buf
+
+    def save(self, path: str, show_points=True, show_keyframes=True,
+             show_graph=True):
+        import matplotlib.pyplot as plt
+
+        fig = self._figure(show_points, show_keyframes, show_graph)
         fig.savefig(path, dpi=110, bbox_inches="tight")
         plt.close(fig)
 
@@ -258,3 +276,77 @@ class Viewer:
             show_keyframes=self.show_keyframes,
             show_graph=self.show_graph,
         )
+
+    # ---- live thread (reference Viewer::Run, Viewer.cpp:32-113) ------
+
+    def run_live(self, fps: float = 5.0):
+        """Start the live rendering thread: at ~fps it snapshots the
+        tracker state under the map lock and renders both views into
+        in-memory frame buffers (`latest_frame` annotated camera image,
+        `latest_map` map view) — the headless analog of the reference's
+        Pangolin window loop. With `out_dir` set, the latest buffers are
+        also written as live_frame.png / live_map.png (atomic rename).
+        Idempotent; `stop_live()` joins the thread."""
+        import threading
+        import time as _time
+
+        if getattr(self, "_live_thread", None) is not None:
+            return
+        self.latest_frame: Optional[np.ndarray] = None
+        self.latest_map: Optional[np.ndarray] = None
+        self.n_live_renders = 0
+        self.live_error = None
+        self._live_stop = threading.Event()
+
+        def _loop():
+            period = 1.0 / max(fps, 1e-3)
+            while not self._live_stop.is_set():
+                t0 = _time.monotonic()
+                try:
+                    with self.system.map.lock:
+                        self.frame_drawer.update()
+                        lf = self.system.tracker.last_frame
+                        if lf is not None and lf.Tcw is not None:
+                            self.map_drawer.set_current_camera_pose(lf.Tcw)
+                        frame_img = self.frame_drawer.draw_frame()
+                        map_img = self.map_drawer.render_array(
+                            show_points=self.show_points,
+                            show_keyframes=self.show_keyframes,
+                            show_graph=self.show_graph,
+                        )
+                    self.latest_frame = frame_img
+                    self.latest_map = map_img
+                    self.n_live_renders += 1
+                    if self.out_dir is not None:
+                        self._write_live(frame_img, map_img)
+                except Exception as e:  # keep rendering failures out of SLAM
+                    self.live_error = e
+                self._live_stop.wait(
+                    max(period - (_time.monotonic() - t0), 0.01)
+                )
+
+        self._live_thread = threading.Thread(
+            target=_loop, name="viewer", daemon=True
+        )
+        self._live_thread.start()
+
+    def _write_live(self, frame_img, map_img):
+        import os
+
+        import matplotlib.image as mpimg
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        for name, img in (("live_frame", frame_img), ("live_map", map_img)):
+            if img is None:
+                continue
+            tmp = os.path.join(self.out_dir, f".{name}.tmp.png")
+            mpimg.imsave(tmp, img.astype(np.uint8))
+            os.replace(tmp, os.path.join(self.out_dir, f"{name}.png"))
+
+    def stop_live(self):
+        th = getattr(self, "_live_thread", None)
+        if th is None:
+            return
+        self._live_stop.set()
+        th.join(timeout=30.0)
+        self._live_thread = None

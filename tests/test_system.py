@@ -199,3 +199,37 @@ class TestTrackStereoReturnContract:
         assert engaged, "no frames returned a pose"
         for r, e in engaged:
             assert np.all(np.isfinite(r)) and r.shape == (4, 4)
+
+
+class TestLiveViewer:
+    """Live viewer thread (reference Viewer::Run, src/Viewer.cpp:32-113):
+    System(use_viewer=True) spawns a background render loop producing
+    in-memory frame buffers while tracking runs."""
+
+    def test_live_viewer_renders_during_tracking(self, tmp_path):
+        world = SyntheticWorld(n_points=900, seed=5, baseline=0.2)
+        cfg = SlamConfig(
+            camera=CameraConfig(
+                fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+                bf=world.bf, width=world.width, height=world.height,
+                fps=20.0,
+            ),
+            orb=OrbConfig(n_features=1000),
+        )
+        sys_ = System(None, cfg, Sensor.STEREO, use_viewer=True)
+        sys_.viewer.out_dir = str(tmp_path)
+        poses_gt, frames = world.render_sequence(10, step=0.06)
+        for i, (imL, imR) in enumerate(frames):
+            sys_.track_stereo(imL, imR, i / 20.0)
+        import time as _t
+
+        t0 = _t.monotonic()
+        while sys_.viewer.n_live_renders < 2 and _t.monotonic() - t0 < 60:
+            _t.sleep(0.2)
+        sys_.shutdown()
+        assert sys_.viewer.live_error is None
+        assert sys_.viewer.n_live_renders >= 2
+        assert sys_.viewer.latest_map is not None
+        assert sys_.viewer.latest_map.ndim == 3
+        assert sys_.viewer.latest_frame is not None
+        assert os.path.exists(os.path.join(str(tmp_path), "live_map.png"))

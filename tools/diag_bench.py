@@ -43,9 +43,6 @@ def main():
     ap.add_argument("--exposure", type=float, default=0.0,
                     help="world exposure-drift amplitude (bench uses 0.1)")
     ap.add_argument("--out-prefix", type=str, default="DIAG")
-    ap.add_argument("--trace-compiles", action="store_true",
-                    help="print the host stack of every backend compile "
-                         "after warmup (finds eager-dispatch leaks)")
     args = ap.parse_args()
 
     import jax
@@ -114,7 +111,11 @@ def main():
     )
     if os.path.exists(cache_f):
         z = np.load(cache_f)
-        frames = [(z["L"][i], z["R"][i]) for i in range(z["L"].shape[0])]
+        # materialize each member ONCE: NpzFile.__getitem__ re-reads the
+        # whole array per access, so z["L"][i] in a loop would allocate
+        # n_frames full copies (~100 GB — OOM-killed two diag runs)
+        L, R = z["L"], z["R"]
+        frames = list(zip(L, R))
     else:
         frames = [world.render_stereo(T) for T in poses_gt]
         os.makedirs(os.path.dirname(cache_f), exist_ok=True)
@@ -130,36 +131,23 @@ def main():
             frames[j] = (noise, noise)
     gt_xyz_all = np.stack([(-T[:3, :3].T @ T[:3, 3]) for T in poses_gt])
 
-    trace_on = [False]
-    if args.trace_compiles:
-        import traceback
+    import faulthandler
 
-        def _on_event(name, secs, **kw):
-            if "backend_compile" not in name or not trace_on[0]:
-                return
-            frames = [
-                f for f in traceback.extract_stack()
-                if "/orbslam2_tpu/" in f.filename or "diag_bench" in f.filename
-            ]
-            where = " <- ".join(
-                f"{os.path.basename(f.filename)}:{f.lineno}:{f.name}"
-                for f in frames[-4:]
-            )
-            print(f"COMPILE {secs:.2f}s [{where}]", flush=True)
-
-        jax.monitoring.register_event_duration_secs_listener(_on_event)
-
+    faulthandler.dump_traceback_later(240, repeat=True, file=sys.stderr)
     sys_ = System(voc, cfg, threaded=bool(args.threaded))
     t0 = time.perf_counter()
+    print("# precompile...", flush=True)
     sys_.precompile()
+    print(f"# precompile done {time.perf_counter()-t0:.1f}s", flush=True)
     for i in range(30):
         imL, imR = frames[i]
         sys_.track_stereo(imL, imR, i / 20.0)
+        print(f"# warmup frame {i}", flush=True)
     sys_.wait_idle(timeout=900)
+    faulthandler.cancel_dump_traceback_later()
     print(f"# warmup {time.perf_counter()-t0:.1f}s", flush=True)
     sys_.reset()
 
-    trace_on[0] = True
     last_state = None
     t0 = time.perf_counter()
     for i, (imL, imR) in enumerate(frames):
