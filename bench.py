@@ -358,11 +358,14 @@ def main():
         f"wall={dt:.2f}s",
         file=sys.stderr,
     )
+    cw = sys_.loop_closer.correction_windows if sys_.loop_closer else []
+    i_max = int(np.argmax(lat))
     print(
         f"# frame latency ms: p50={np.percentile(lat, 50)*1e3:.1f} "
         f"p90={np.percentile(lat, 90)*1e3:.1f} "
         f"p95={np.percentile(lat, 95)*1e3:.1f} "
-        f"max={lat.max()*1e3:.1f}",
+        f"max={lat.max()*1e3:.1f} (frame {i_max}; loop corrections at "
+        f"frames ~{[int(round((a - t0) * fps)) for a, b in cw]})",
         file=sys.stderr,
     )
     print(
