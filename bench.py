@@ -358,6 +358,12 @@ def main():
         f"wall={dt:.2f}s",
         file=sys.stderr,
     )
+    # which NeedNewKeyFrame condition drove each insertion (the KF rate
+    # controls the whole mapping-side device load — diagnose over-insertion)
+    print(
+        f"# kf_triggers={dict(sys_.tracker.kf_trigger_counts)}",
+        file=sys.stderr,
+    )
     cw = sys_.loop_closer.correction_windows if sys_.loop_closer else []
     i_max = int(np.argmax(lat))
     print(
