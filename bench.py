@@ -124,6 +124,9 @@ def main():
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
     )
+    # persist EVERY compile (default skips sub-1s entries): the loop-event
+    # programs must be warm on the next run even when individually cheap
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import numpy as np
 
     from orbslam2_tpu.config import CameraConfig, OrbConfig, SlamConfig
@@ -133,8 +136,15 @@ def main():
     from orbslam2_tpu.slam.system import System
     from orbslam2_tpu.vocab import train
 
-    # count compiles; the timed window must observe ZERO
+    # count compiles; the timed window must observe ZERO. The monitoring
+    # listener gives durations; the pxla debug logger gives the PROGRAM
+    # NAMES ("Compiling jit(<name>) ..."), so a mid-run compile is
+    # attributable to the exact device program that was cold.
+    import logging
+    import re as re_mod
+
     compile_events = []
+    compile_names = []
     jax.monitoring.register_event_duration_secs_listener(
         lambda name, secs, **kw: compile_events.append(
             (name, secs, time.perf_counter())
@@ -142,6 +152,17 @@ def main():
         if "backend_compile" in name
         else None
     )
+
+    class _CompileNameHandler(logging.Handler):
+        def emit(self, rec):
+            m = re_mod.search(r"Compiling (\S+) ", rec.getMessage())
+            if m:
+                compile_names.append((time.perf_counter(), m.group(1)))
+
+    _pxla_log = logging.getLogger("jax._src.interpreters.pxla")
+    _pxla_log.addHandler(_CompileNameHandler())
+    _pxla_log.setLevel(logging.DEBUG)
+    _pxla_log.propagate = False  # keep the DEBUG records off stderr
 
     # EuRoC-scale circuit world: 752x480 stereo, loop closure at the end.
     # Photometric realism (sensor noise + exposure drift) exercises the
@@ -202,7 +223,28 @@ def main():
     lap = world.trajectory_circuit(240)
     poses_gt = lap + lap[:24]
     n_frames = len(poses_gt)
-    frames = [world.render_stereo(T) for T in poses_gt]  # dataset "IO"
+    # dataset "IO": the host-side sprite renderer takes ~5 s/frame on this
+    # small host (~20 min/run, all outside the timed window) — cache the
+    # rendered sequence on disk keyed by the world/sequence parameters.
+    # uint8 (the tracker quantizes uploads to uint8 anyway).
+    cache_dir = os.path.join(REPO, ".render_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    seq_key = f"bench_s{world.seed}_n{world.n_points}_f{n_frames}_v2"
+    seq_path = os.path.join(cache_dir, seq_key + ".npz")
+    if os.path.exists(seq_path):
+        z = np.load(seq_path)
+        stack = z["frames"]  # [F, 2, H, W] uint8
+        frames = [(stack[i, 0], stack[i, 1]) for i in range(n_frames)]
+    else:
+        frames = [world.render_stereo(T) for T in poses_gt]
+        stack = np.stack([
+            np.stack([
+                np.clip(np.rint(a), 0, 255).astype(np.uint8),
+                np.clip(np.rint(b), 0, 255).astype(np.uint8),
+            ]) for a, b in frames
+        ])
+        np.savez_compressed(seq_path, frames=stack)
+        frames = [(stack[i, 0], stack[i, 1]) for i in range(n_frames)]
 
     parity = write_frontend_parity(fe, *frames[0])
 
@@ -262,6 +304,10 @@ def main():
     sys_.wait_idle(timeout=900)
     fps = n_frames / dt
     n_compiles_timed = len(compile_events) - n_compiles_warmup
+    # snapshot NOW: shutdown diagnostics below (measure_stage_split,
+    # frontend_throughput) compile their own programs after the window
+    timed_compile_events = list(compile_events[n_compiles_warmup:])
+    timed_compile_names = list(compile_names)
 
     n_loops = sys_.loop_closer.n_loops_closed if sys_.loop_closer else 0
     # ATE over the SOLVED per-frame poses (the trajectory; in pipelined
@@ -329,26 +375,6 @@ def main():
     report = sys_.shutdown(measure_frontend_split=True)
 
     baseline_fps = 20.0  # reference real-time budget (EuRoC camera rate)
-    # tracked / ATE / loops ride in the HEADLINE JSON so a throughput win
-    # can never again silently regress accuracy (VERDICT r3 weak #1)
-    print(
-        json.dumps(
-            {
-                "metric": "stereo_slam_e2e_fps_per_chip",
-                "value": round(fps, 2),
-                "unit": (
-                    "frames/s end-to-end (752x480 stereo, 1200 ORB, "
-                    "mapping+loop closing, 264-frame 1.1-lap circuit)"
-                ),
-                "vs_baseline": round(fps / baseline_fps, 3),
-                "tracked": f"{len(pairs)}/{n_frames}",
-                "ate_rmse_m": round(float(rmse), 3),
-                "ate_offline_m": round(float(rmse_off), 3),
-                "loops_closed": int(n_loops),
-                "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
-            }
-        )
-    )
     # context for humans reading logs (stderr keeps stdout to one line)
     print(
         f"# device={jax.devices()[0].platform} tracked={len(pairs)}/{n_frames} "
@@ -364,6 +390,19 @@ def main():
         f"# kf_triggers={dict(sys_.tracker.kf_trigger_counts)}",
         file=sys.stderr,
     )
+    # close-point tracking health: need_close = tracked_close<100 &
+    # non_tracked_close>70 (reference Tracking.cpp:852-857); the per-frame
+    # distribution says whether close support is chronically thin
+    fs = np.asarray([r for r in sys_.tracker.fused_stats if len(r) >= 7])
+    if fs.size:
+        tc, nc = fs[:, 5], fs[:, 6]
+        print(
+            f"# close pts/frame: tracked p10/p50/p90="
+            f"{np.percentile(tc, 10):.0f}/{np.percentile(tc, 50):.0f}/"
+            f"{np.percentile(tc, 90):.0f} free p50={np.percentile(nc, 50):.0f} "
+            f"need_close_frames={int(((tc < 100) & (nc > 70)).sum())}/{len(fs)}",
+            file=sys.stderr,
+        )
     cw = sys_.loop_closer.correction_windows if sys_.loop_closer else []
     i_max = int(np.argmax(lat))
     print(
@@ -385,7 +424,7 @@ def main():
         # rare-event correction/GBA programs land when the loop fires —
         # the reference likewise pays its CorrectLoop cost there) from
         # STEADY-STATE events, which are the actual discipline violation
-        timed = compile_events[n_compiles_warmup:]
+        timed = timed_compile_events
         cw = sys_.loop_closer.correction_windows if sys_.loop_closer else []
         in_loop = [
             e for e in timed
@@ -401,13 +440,66 @@ def main():
             + ", ".join(f"{e[1]:.1f}s@t+{e[2]-t0:.0f}s" for e in slow),
             file=sys.stderr,
         )
+        # attribute each timed-window compile to its program name (the
+        # name log and the duration log tick the same clock; nearest-
+        # timestamp join). Capped: names only, deduplicated.
+        named = []
+        for e in timed:
+            near = [x for x in timed_compile_names if x[0] <= e[2] + 0.5]
+            named.append(near[-1][1] if near else "?")
+        from collections import Counter
+
+        print(
+            f"# timed-window compile names: "
+            + ", ".join(
+                f"{n}x{c}" for n, c in Counter(named).most_common(12)
+            ),
+            file=sys.stderr,
+        )
     fps_frontend = frontend_throughput(world, fe)
     print(
         f"# secondary stereo_frontend_fps_per_chip={fps_frontend:.1f} "
         f"(vs_baseline {fps_frontend / baseline_fps:.2f})",
         file=sys.stderr,
     )
-    print(report, file=sys.stderr)
+    # timing report capped to the top stages by total time (the r4 driver
+    # artifact truncated the tail window past ~40 stderr lines and lost
+    # the headline; the report is context, not the deliverable)
+    hdr, *stage_lines = report.splitlines()
+    total_us = {}
+    for ln in stage_lines:
+        name = ln.strip().rsplit(":", 1)[0]
+        mean, _ = sys_.timers.mean_stddev(name)
+        total_us[ln] = mean * len(sys_.timers.samples.get(name, ()))
+    top = sorted(stage_lines, key=lambda ln: -total_us.get(ln, 0.0))[:24]
+    print("\n".join([hdr] + [ln for ln in stage_lines if ln in set(top)]),
+          file=sys.stderr)
+    sys.stderr.flush()
+    # tracked / ATE / loops ride in the HEADLINE JSON so a throughput win
+    # can never again silently regress accuracy (VERDICT r3 weak #1).
+    # Printed as the VERY LAST line of the run (VERDICT r4 task 1: the
+    # driver's tail window must always contain it).
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_slam_e2e_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": (
+                    "frames/s end-to-end (752x480 stereo, 1200 ORB, "
+                    f"mapping+loop closing, {n_frames}-frame circuit)"
+                ),
+                "vs_baseline": round(fps / baseline_fps, 3),
+                "tracked": f"{len(pairs)}/{n_frames}",
+                "ate_rmse_m": round(float(rmse), 3),
+                "ate_offline_m": round(float(rmse_off), 3),
+                "loops_closed": int(n_loops),
+                "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+                "max_ms": round(float(lat.max()) * 1e3, 1),
+                "compiles_timed": int(n_compiles_timed),
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

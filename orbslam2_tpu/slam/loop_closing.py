@@ -15,6 +15,7 @@ host-sequenced stage over the TPU kernels:
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax
@@ -33,13 +34,25 @@ MIN_LOOP_GAP = 10  # don't look for loops right after the last one (:97-103)
 
 
 def _np_sim3(S):
-    """Fetch a device Sim3 to host numpy (R, t, s). Numpy tuples pass
-    through — loop-closing keeps Sim3s host-side as numpy to avoid eager
-    3x3 device dispatches over the tunnel (each is a full round trip)."""
-    if isinstance(S, tuple):
-        return S
-    S = jax.device_get(S)  # one batched fetch
-    return S.R, S.t, float(S.s)
+    """Fetch a Sim3 to host numpy (R f64, t f64, s float). Loop-closing
+    keeps Sim3s host-side as numpy so none of the correction math runs as
+    eager device dispatches (each is a tunnel round trip AND a one-off
+    XLA compile per shape).
+
+    r5 postmortem: `geometry.Sim3` is a NamedTuple, so the old
+    `isinstance(S, tuple)` pass-through let DEVICE Sim3s through
+    untouched — every downstream `@ / - / /` became an eager TPU op, and
+    the r4/r5 loop corrections spent ~25 s compiling ~60 tiny programs
+    INSIDE the map lock (the 26-33 s max-latency frames)."""
+    if isinstance(S, sim3_mod.Sim3):
+        S = jax.device_get(S)  # one batched fetch
+        S = (S.R, S.t, S.s)
+    R, t, s = S
+    return (
+        np.asarray(jax.device_get(R), np.float64),
+        np.asarray(jax.device_get(t), np.float64),
+        float(s),
+    )
 
 
 class LoopCloser:
@@ -132,6 +145,14 @@ class LoopCloser:
         self._Scw: Optional[sim3_mod.Sim3] = None  # corrected Sim3 world->cur
         self._loop_points: List[int] = []
         self._matched_points: Dict[int, int] = {}  # cur feature idx -> loop pid
+        #: GBA-on-its-own-thread state (reference LoopClosing.cpp:566-570
+        #: spawns RunGlobalBundleAdjustment detached; :397-409 aborts a
+        #: still-running GBA when the NEXT loop closes). threaded_gba is
+        #: enabled by System for the threaded pipeline; host-sequenced
+        #: modes keep GBA inline so tests see a settled map on return.
+        self.threaded_gba = False
+        self._gba_thread: Optional[threading.Thread] = None
+        self._gba_stop = False
         #: one record per Sim3 candidate attempt: which gate rejected and
         #: the counts at each stage (n_bow / ransac / opt / projection vs
         #: the reference's 20/20/40 gates, LoopClosing.cpp:218-385) — the
@@ -592,14 +613,18 @@ class LoopCloser:
 
     def _correct_loop(self, kf: int):
         """Reference LoopClosing::CorrectLoop (LoopClosing.cpp:387-605).
-        The Sim3 propagation/fusion and the essential-graph write-back run
-        under the map lock; the pose-graph solve and the global BA run
-        outside it (GBA chunked + staged, reference LoopClosing.cpp:
-        566-570 GBA thread + 636-747 staged correction)."""
+        The Sim3 propagation and the write-backs run under the map lock;
+        the loop-point fusion matching, the pose-graph solve and the
+        global BA run outside it (the reference likewise runs SearchAndFuse
+        after its MapUpdate lock scope closes, and spawns GBA on a
+        detached thread, LoopClosing.cpp:566-570)."""
         import time
 
         t0 = time.monotonic()
         m = self.map
+        # a GBA from a previous loop may still be running: abort + join
+        # (reference LoopClosing.cpp:397-409 mbStopGBA protocol)
+        self._abort_gba_and_join()
         if self.local_mapper is not None:
             # reference RequestStop + isStopped spin-wait (LoopClosing.cpp:
             # 394-415): no mapping stage may be mid-flight while the
@@ -608,12 +633,15 @@ class LoopCloser:
             self.local_mapper.wait_stopped()
         try:
             with self.lock:
-                pg_args = self._correct_loop_locked(kf)
+                pg_args, fuse_args = self._correct_loop_locked(kf)
+            # loop-point fusion: device matching unlocked, merges locked
+            # per target (mapping is parked; only the tracker interleaves)
+            with self._span("Loop fusion"):
+                loop_connections = self._search_and_fuse(kf, *fuse_args)
             with self._span("Essential graph"):
-                self._optimize_essential_graph(kf, *pg_args)
-
-            with self._span("Global BA"):
-                self._global_ba(kf)
+                self._optimize_essential_graph(
+                    kf, *pg_args, loop_connections
+                )
         finally:
             # release unconditionally: a timeout/error escaping mid-
             # correction must not leave the mapper parked forever
@@ -626,6 +654,42 @@ class LoopCloser:
         # incremented LAST: observers polling n_loops_closed (tests, bench)
         # must see the completed correction window when it flips
         self.n_loops_closed += 1
+        self._start_gba(kf)
+
+    def _start_gba(self, kf: int):
+        """Full-map BA: on its own thread in the threaded pipeline so loop
+        detection for subsequent keyframes continues during the solve
+        (reference LoopClosing.cpp:566-570); inline otherwise."""
+        if self.threaded_gba:
+            self._gba_stop = False
+            self._gba_thread = threading.Thread(
+                target=self._run_gba, args=(kf,), name="gba-thread",
+                daemon=True,
+            )
+            self._gba_thread.start()
+        else:
+            self._run_gba(kf)
+
+    def _abort_gba_and_join(self, timeout: float = 300.0):
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            self._gba_stop = True
+            t.join(timeout)
+        self._gba_thread = None
+
+    def gba_running(self) -> bool:
+        t = self._gba_thread
+        return t is not None and t.is_alive()
+
+    def wait_gba(self, timeout: float = 600.0):
+        """Block until a background GBA (if any) finished and applied."""
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+
+    def _run_gba(self, kf: int):
+        with self._span("Global BA"):
+            self._global_ba(kf)
 
     def _correct_loop_locked(self, kf: int):
         m = self.map
@@ -670,7 +734,7 @@ class LoopCloser:
             m.update_connections(ki)
 
         # attach matched loop points at the current keyframe (descriptor
-        # refreshes deferred to one batched pass below)
+        # refreshes deferred to one batched pass in _search_and_fuse)
         touched = []
         cur_pids = m.kf_point[kf]
         for fi, loop_pid in self._matched_points.items():
@@ -685,20 +749,42 @@ class LoopCloser:
                 m.add_observation(loop_pid, kf, fi)
                 touched.append(loop_pid)
 
-        # fuse loop points into every corrected keyframe (SearchAndFuse)
-        fusion_span = self._span("Loop fusion")
-        fusion_span.__enter__()
         old_neighbors = {ki: set(m.covisible_keyframes(ki)) for ki in current_group}
         loop_pt_arr = np.asarray(self._loop_points, np.int64)
         loop_pt_list = loop_pt_arr[m.valid_mask(loop_pt_arr)]
+
+        # loop edge bookkeeping
+        m.loop_edges[kf].add(self._matched_kf)
+        m.loop_edges[self._matched_kf].add(kf)
+        m.version += 1  # invalidate device-resident candidate caches
+        if self.on_pose_jump is not None:
+            self.on_pose_jump(T_cur_old, m.kf_pose[kf])
+        return (
+            (corrected, non_corrected),
+            (current_group, corrected, old_neighbors, loop_pt_list, touched),
+        )
+
+    def _search_and_fuse(
+        self, kf, current_group, corrected, old_neighbors, loop_pt_list,
+        touched,
+    ) -> Dict[int, Set[int]]:
+        """Fuse loop points into every corrected keyframe (reference
+        SearchAndFuse, LoopClosing.cpp:528-556 — which the reference runs
+        AFTER its MapUpdate lock scope closes). Device matching runs
+        unlocked; each target's merge protocol holds the lock briefly, so
+        the tracker's frame latency is never charged a whole fusion pass
+        (VERDICT r4 task 3: the 33 s frame sat behind exactly this)."""
+        m = self.map
         for ki in current_group:
             Rc, tc, sc = corrected[ki]
             with self._span("Loop fusion search"):
                 matched = self._search_by_sim3_projection(
                     ki, (Rc, tc, sc), loop_pt_list, th=4.0
                 )
-            kf_pids = m.kf_point[ki]
-            with self._span("Loop fusion merge"):
+            with self.lock, self._span("Loop fusion merge"):
+                if ki not in m.kf_valid:
+                    continue
+                kf_pids = m.kf_point[ki]
                 for fi, pid in matched.items():
                     pid = m.resolve_replaced(pid)
                     if pid not in m.pt_valid or ki in m.pt_obs[pid]:
@@ -710,31 +796,32 @@ class LoopCloser:
                     else:
                         m.add_observation(pid, ki, fi)
                         touched.append(pid)
-            with self._span("Loop fusion connections"):
-                m.update_connections(ki)
+                with self._span("Loop fusion connections"):
+                    m.update_connections(ki)
 
         # new links created by the fusion
         loop_connections: Dict[int, Set[int]] = {}
-        for ki in current_group:
-            now = set(m.covisible_keyframes(ki))
-            fresh = now - old_neighbors[ki] - set(current_group)
-            if fresh:
-                loop_connections[ki] = fresh
+        with self.lock:
+            for ki in current_group:
+                if ki not in m.kf_valid:
+                    continue
+                now = set(m.covisible_keyframes(ki))
+                fresh = now - old_neighbors[ki] - set(current_group)
+                if fresh:
+                    loop_connections[ki] = fresh
 
-        # ONE batched distinctive-descriptor refresh for every point the
+        # batched distinctive-descriptor refresh for every point the
         # fusion touched (the per-merge refresh made corrections minutes
-        # long on-chip — r3 postmortem)
+        # long on-chip — r3 postmortem), CHUNKED so the lock is released
+        # between chunks and tracker frames interleave
         with self._span("Loop fusion refresh"):
-            m.compute_distinctive_descriptors_batch(sorted(set(touched)))
-        fusion_span.__exit__(None, None, None)
-
-        # loop edge bookkeeping
-        m.loop_edges[kf].add(self._matched_kf)
-        m.loop_edges[self._matched_kf].add(kf)
-        m.version += 1  # invalidate device-resident candidate caches
-        if self.on_pose_jump is not None:
-            self.on_pose_jump(T_cur_old, m.kf_pose[kf])
-        return corrected, non_corrected, loop_connections
+            tl = sorted(set(touched))
+            for i in range(0, len(tl), 256):
+                with self.lock:
+                    m.compute_distinctive_descriptors_batch(tl[i : i + 256])
+        with self.lock:
+            m.version += 1
+        return loop_connections
 
     # ------------------------------------------------------------------
 
@@ -975,8 +1062,14 @@ class LoopCloser:
             )
         else:
             res = ba.ba_solve_pm_interruptible(
-                prob, self.frontend.camera, n_iters_first=5, n_iters_second=10
+                prob, self.frontend.camera, n_iters_first=5,
+                n_iters_second=10,
+                should_abort=lambda: self._gba_stop,
             )
+        if self._gba_stop:
+            # aborted by a newer loop correction: discard (the reference
+            # likewise returns without updating, LoopClosing.cpp:641-654)
+            return
         with self.lock, self._span("Graph update"):
             self._apply_gba_staged(res, meta, kfs, pts)
 

@@ -112,6 +112,10 @@ class System:
             if self.loop_closer is not None:
                 self.loop_worker = LoopWorker(self.loop_closer)
                 self.local_mapper.on_processed = self.loop_worker.submit
+                # GBA runs on its own thread so subsequent keyframes keep
+                # being loop-checked during the solve (reference
+                # LoopClosing.cpp:566-570 detached GBA thread)
+                self.loop_closer.threaded_gba = True
         self.viewer = None
         if use_viewer:
             from .viewer import Viewer
@@ -195,6 +199,8 @@ class System:
         if self.loop_worker is not None:
             self.loop_worker.finish()
             self.loop_worker = None
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()
         if measure_frontend_split and self.tracker.last_images is not None:
             imL, imR = self.tracker.last_images
             t_orb, t_full = self.frontend.measure_stage_split(imL, imR)
@@ -307,6 +313,55 @@ class System:
             jnp.zeros((Pl, 3), jnp.float32), jnp.eye(4), 1.0,
         ))
 
+        # local-mapping worker programs (creation / fusion): the r5 diag
+        # run caught their first compiles landing ~8 s into the timed
+        # window (warmup's 30 frames hadn't yet produced a multi-neighbor
+        # keyframe when the window opened)
+        lm = self.local_mapper
+        if lm is not None:
+            Kn = sh.bucket_select(2, 1, sh.neighbor_cap)
+            eye4 = jnp.eye(4, dtype=jnp.float32)
+            run("epi_batch", lambda: lm._jit_epipolar_batch(
+                zeros_feat["uv"], zeros_feat["desc"],
+                np.zeros(N, bool), zeros_feat["angle"], np.zeros(N, bool),
+                zeros_feat["u_right"], zeros_feat["u_right"],
+                zeros_feat["octave"],
+                (zeros_feat["uv"],) * Kn, (zeros_feat["octave"],) * Kn,
+                (zeros_feat["desc"],) * Kn, (np.zeros(N, bool),) * Kn,
+                (zeros_feat["angle"],) * Kn, (np.zeros(N, bool),) * Kn,
+                (zeros_feat["u_right"],) * Kn, (zeros_feat["u_right"],) * Kn,
+                (np.zeros((3, 3), np.float32),) * Kn,
+                (np.zeros(2, np.float32),) * Kn,
+                np.eye(4, dtype=np.float32),
+                (np.eye(4, dtype=np.float32),) * Kn,
+                np.eye(4, dtype=np.float32),
+                (np.eye(4, dtype=np.float32),) * Kn,
+                np.zeros(3, np.float32), (np.zeros(3, np.float32),) * Kn,
+            ))
+            Kt = sh.bucket_select(2, 1, sh.fuse_targets_cap)
+            Ps = sh.bucket(256, 256, sh.fuse_src_cap)
+            run("fuse_batch", lambda: lm._jit_fuse_batch(
+                (zeros_feat["uv"],) * Kt, (zeros_feat["octave"],) * Kt,
+                (zeros_feat["u_right"],) * Kt, (zeros_feat["desc"],) * Kt,
+                (zeros_feat["valid"],) * Kt,
+                (np.zeros((Ps, 2), np.float32),) * Kt,
+                (np.zeros(Ps, np.float32),) * Kt,
+                (np.zeros(Ps, np.int32),) * Kt,
+                np.zeros((Ps, 8), np.uint32),
+                (np.zeros(Ps, bool),) * Kt,
+            ))
+            Pb = sh.bucket(256, 256, sh.fuse_pt_cap)
+            run("fuse_single", lambda: lm._jit_fuse(
+                zeros_feat["uv"], zeros_feat["octave"],
+                zeros_feat["u_right"], zeros_feat["desc"],
+                zeros_feat["valid"],
+                jnp.asarray(np.zeros((Pb, 2), np.float32)),
+                jnp.asarray(np.zeros(Pb, np.float32)),
+                jnp.asarray(np.zeros(Pb, np.int32)),
+                jnp.asarray(np.zeros((Pb, 8), np.uint32)),
+                jnp.asarray(np.zeros(Pb, bool)),
+            ))
+
         if self.relocalizer is not None:
             r = self.relocalizer
             C = sh.reloc_cands
@@ -413,6 +468,8 @@ class System:
             self.worker.wait_idle(timeout)
         if self.loop_worker is not None:
             self.loop_worker.wait_idle(timeout)
+            if self.loop_closer is not None:
+                self.loop_closer.wait_gba(timeout)
             if self.worker is not None:
                 # a loop correction may have re-woken the mapper
                 self.worker.wait_idle(timeout)

@@ -901,13 +901,18 @@ class Tracker:
         frame._close_counts = (
             int(host["n_close_tracked"]), int(host["n_close_free"]),
         )
-        # per-frame fused-step stats ring (diagnostics; bounded)
+        # per-frame fused-step stats ring (diagnostics; bounded):
+        # (frame, n_motion_matches, n_motion_kept, n_new_local, n_inliers,
+        #  tracked_close, non_tracked_close) — the close counts drive the
+        # NeedNewKeyFrame need_close condition (VERDICT r4: 47% of frames
+        # fired it; the per-frame trace decides threshold vs matching bug)
         self.fused_stats.append((
             frame.frame_id, int(host["n_match1"]), int(k1.sum()),
             int((k2.sum()) if cand_ids.size else 0), self.n_inliers,
+            int(host["n_close_tracked"]), int(host["n_close_free"]),
         ))
-        if len(self.fused_stats) > 400:
-            del self.fused_stats[:200]
+        if len(self.fused_stats) > 1200:
+            del self.fused_stats[:400]
         # local map for the NEXT frame's candidate cache (the fused step
         # matched against the previous frame's local map — a one-frame lag
         # the reference does not have; documented deviation)

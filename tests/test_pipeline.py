@@ -144,3 +144,71 @@ class TestThreadedPipeline:
     def test_timing_report(self, threaded_run):
         *_, report = threaded_run
         assert "Total tracking" in report
+
+
+class TestConcurrentGBA:
+    """GBA runs on its own thread (reference LoopClosing.cpp:566-570) with
+    the mbStopGBA abort protocol (:397-409): loop detection for subsequent
+    keyframes proceeds while the solve runs, and a newer correction aborts
+    a stale in-flight GBA before rewriting poses."""
+
+    def _make_closer(self):
+        from orbslam2_tpu.config import SlamConfig
+        from orbslam2_tpu.slam.frontend import Frontend
+        from orbslam2_tpu.slam.loop_closing import LoopCloser
+        from orbslam2_tpu.slam.map import SlamMap
+        from orbslam2_tpu.slam.relocalization import Relocalizer
+        from orbslam2_tpu.vocab import train
+
+        cfg = SlamConfig()
+        fe = Frontend(cfg)
+        m = SlamMap(cfg.orb.n_features)
+        rng = np.random.default_rng(0)
+        voc = train.train_vocabulary(
+            rng.integers(0, 256, (256, 32)).astype(np.uint8), k=4, depth=2
+        )
+        reloc = Relocalizer(cfg, fe, m, voc)
+        return LoopCloser(cfg, fe, m, reloc)
+
+    def test_gba_thread_overlaps_detection_and_aborts(self, monkeypatch):
+        import threading
+
+        lc = self._make_closer()
+        lc.threaded_gba = True
+        started = threading.Event()
+        detect_calls = []
+
+        def fake_gba(kf):
+            started.set()
+            while not lc._gba_stop:  # honors the abort flag like the solver
+                time.sleep(0.002)
+
+        monkeypatch.setattr(lc, "_global_ba", fake_gba)
+        monkeypatch.setattr(
+            lc, "_detect_loop", lambda kf: detect_calls.append(kf) and False
+        )
+        lc._start_gba(7)
+        assert started.wait(5.0), "GBA thread did not start"
+        assert lc.gba_running()
+
+        # loop detection proceeds while GBA is alive: insert_keyframe must
+        # return promptly (the detect stub records the call)
+        lc.map.kf_valid.add_range(0, 20)  # enough KFs to pass the gate
+        lc.last_loop_kf = -100
+        monkeypatch.setattr(lc.reloc, "add_keyframe", lambda kf: None)
+        t0 = time.monotonic()
+        lc.insert_keyframe(15)
+        assert time.monotonic() - t0 < 2.0
+        assert detect_calls == [15]
+        assert lc.gba_running(), "detection must not wait for GBA"
+
+        # a newer correction aborts the stale GBA before proceeding
+        lc._abort_gba_and_join(timeout=5.0)
+        assert not lc.gba_running()
+
+    def test_inline_gba_when_unthreaded(self, monkeypatch):
+        lc = self._make_closer()  # threaded_gba defaults to False
+        calls = []
+        monkeypatch.setattr(lc, "_global_ba", lambda kf: calls.append(kf))
+        lc._start_gba(3)
+        assert calls == [3] and not lc.gba_running()
