@@ -98,17 +98,29 @@ static void remap_rows(const uint8_t* src, int sh, int sw, const float* mapx,
     for (int c = 0; c < dw; ++c) {
       float fx = mapx[r * dw + c];
       float fy = mapy[r * dw + c];
-      int x0 = (int)fx;
-      int y0 = (int)fy;
-      if (fx < 0 || fy < 0 || x0 >= sw - 1 || y0 >= sh - 1) {
+      // cv::remap edge semantics (BORDER_CONSTANT 0): samples fully
+      // outside are 0; samples on the last row/col (or at -eps from
+      // rectify-map rounding noise) interpolate with CLAMPED neighbors.
+      // The old `x0 >= sw-1` cut zeroed a 1-pixel border on identity
+      // maps (caught by tests/test_euroc_e2e.py).
+      if (fx <= -0.5f || fy <= -0.5f || fx >= sw - 0.5f || fy >= sh - 0.5f) {
         dst[r * dw + c] = 0.0f;
         continue;
       }
+      if (fx < 0.0f) fx = 0.0f;
+      if (fy < 0.0f) fy = 0.0f;
+      int x0 = (int)fx;
+      int y0 = (int)fy;
+      if (x0 > sw - 1) x0 = sw - 1;
+      if (y0 > sh - 1) y0 = sh - 1;
+      int x1 = x0 + 1 > sw - 1 ? sw - 1 : x0 + 1;
+      int y1 = y0 + 1 > sh - 1 ? sh - 1 : y0 + 1;
       float ax = fx - x0;
       float ay = fy - y0;
-      const uint8_t* p0 = src + y0 * sw + x0;
-      float v00 = p0[0], v01 = p0[1];
-      float v10 = p0[sw], v11 = p0[sw + 1];
+      const uint8_t* row0 = src + y0 * sw;
+      const uint8_t* row1 = src + y1 * sw;
+      float v00 = row0[x0], v01 = row0[x1];
+      float v10 = row1[x0], v11 = row1[x1];
       dst[r * dw + c] = (1 - ay) * ((1 - ax) * v00 + ax * v01) +
                         ay * ((1 - ax) * v10 + ax * v11);
     }

@@ -601,6 +601,10 @@ def ba_pm_step(
         beta = rz2 / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
         return (xc, xp, rc, rp, zc + beta * pc_, zp + beta * pp_, rz2), None
 
+    # NOTE: unlike the pose optimizer's tiny LM body (where unrolling was
+    # a 7x win), unrolling this CG scan measured SLOWER on-chip (r5:
+    # 10.5 -> 15.6 ms small tier, 37.7 -> 72.3 ms big tier) — the body is
+    # large enough that the sequential scan is the better schedule.
     (xc, xp, *_), _ = jax.lax.scan(
         cg, (xc, xp, rc, rp, pc_, pp_, rz), None, length=n_cg
     )

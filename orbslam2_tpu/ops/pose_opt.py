@@ -96,13 +96,51 @@ def _chi2(r, comp_mask, inv_sigma2):
     return jnp.sum(r * r * comp_mask, axis=-1) * inv_sigma2
 
 
+def _solve6(A, b):
+    """Unrolled 6x6 Cholesky solve (A SPD). jnp.linalg.solve lowers to a
+    general LU custom call whose fixed cost dwarfs the 6x6 math on TPU —
+    the fused frame step runs 80 of these per frame (r5 profile: the
+    fused step's device time was ~10x the frontend's). A static scalar
+    DAG fuses into the surrounding LM iteration instead."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        s = A[i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        for j in range(i + 1, 6):
+            s = A[j, i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s / L[i][i]
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _lm_optimize(T0, pw, obs, inv_sigma2, is_stereo, active, cam, use_huber, n_iters):
-    """n_iters LM iterations from T0 over `active` edges. Returns T."""
+    """n_iters LM iterations from T0 over `active` edges. Returns T.
+
+    One residual+Jacobian evaluation per iteration: the normal system at
+    the accepted pose is carried forward instead of recomputed (H and g
+    depend only on T, so re-evaluating them at an unchanged T — what the
+    two-pass version did — is identical math at twice the device time)."""
     delta = jnp.where(is_stereo, DELTA_STEREO, DELTA_MONO)
     delta2 = delta * delta
 
-    def robust_total(T):
-        r, _, cm, depth_ok = _residual_jacobian(T, pw, obs, is_stereo, cam)
+    def eval_all(T):
+        """(F, H, g) at T in ONE batched pass."""
+        r, J, cm, depth_ok = _residual_jacobian(T, pw, obs, is_stereo, cam)
         e2 = _chi2(r, cm, inv_sigma2)
         rho = jnp.where(
             use_huber & (e2 > delta2),
@@ -110,33 +148,27 @@ def _lm_optimize(T0, pw, obs, inv_sigma2, is_stereo, active, cam, use_huber, n_i
             e2,
         )
         w_act = active & depth_ok
-        return jnp.sum(jnp.where(w_act, rho, 0.0))
-
-    def system(T):
-        r, J, cm, depth_ok = _residual_jacobian(T, pw, obs, is_stereo, cam)
-        e2 = _chi2(r, cm, inv_sigma2)
+        F = jnp.sum(jnp.where(w_act, rho, 0.0))
         w_huber = jnp.where(
             use_huber & (e2 > delta2),
             delta / jnp.sqrt(jnp.maximum(e2, 1e-12)),
             1.0,
         )
-        w_edge = jnp.where(active & depth_ok, w_huber * inv_sigma2, 0.0)
+        w_edge = jnp.where(w_act, w_huber * inv_sigma2, 0.0)
         W = w_edge[:, None] * cm  # [N,3] per-component weights
         H = _einsum("nci,nc,ncj->ij", J, W, J)
         g = _einsum("nci,nc->i", J, W * r)  # gradient direction J^T W r
-        return H, g
+        return F, H, g
 
-    H0, _ = system(T0)
+    F0, H0, g0 = eval_all(T0)
     lam0 = 1e-5 * jnp.max(jnp.diagonal(H0))
-    F0 = robust_total(T0)
 
     def step(carry, _):
-        T, lam, ni, F = carry
-        H, g = system(T)
+        T, lam, ni, F, H, g = carry
         A = H + lam * jnp.eye(6, dtype=H.dtype)
-        dx = -jnp.linalg.solve(A, g)
+        dx = -_solve6(A, g)
         T_new = se3.retract(T, dx)
-        F_new = robust_total(T_new)
+        F_new, H_new, g_new = eval_all(T_new)
         # g2o rho denominator: dx^T (lam*dx + b), b = -g
         denom = jnp.dot(dx, lam * dx - g) + 1e-12
         rho = (F - F_new) / denom
@@ -145,12 +177,15 @@ def _lm_optimize(T0, pw, obs, inv_sigma2, is_stereo, active, cam, use_huber, n_i
         lam_down = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         T = jnp.where(ok, T_new, T)
         F = jnp.where(ok, F_new, F)
+        H = jnp.where(ok, H_new, H)
+        g = jnp.where(ok, g_new, g)
         lam = jnp.where(ok, lam_down, lam_up)
         ni = jnp.where(ok, 2.0, ni * 2.0)
-        return (T, lam, ni, F), None
+        return (T, lam, ni, F, H, g), None
 
-    (T, _, _, _), _ = jax.lax.scan(
-        step, (T0, lam0, jnp.float32(2.0), F0), None, length=n_iters
+    (T, _, _, _, _, _), _ = jax.lax.scan(
+        step, (T0, lam0, jnp.float32(2.0), F0, H0, g0), None,
+        length=n_iters, unroll=n_iters,
     )
     return T
 
@@ -183,7 +218,7 @@ def pose_optimize(
 
     init = (T0, jnp.zeros(valid.shape, bool))
     (T_final, outlier), _ = jax.lax.scan(
-        round_body, init, jnp.arange(n_rounds)
+        round_body, init, jnp.arange(n_rounds), unroll=n_rounds
     )
     inlier = valid & ~outlier
     return PoseOptResult(

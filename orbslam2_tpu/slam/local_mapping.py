@@ -53,6 +53,7 @@ class LocalMapper:
         self._queue: List[int] = []
         self.n_processed = 0
         self._kfs_since_ba = 0
+        self._kfs_since_fuse = 0
         self.on_processed = None  # downstream stage hook (loop closing)
         self.timers = None  # StageTimers, wired by System
         #: MappingWorker when the pipeline runs threaded (reference
@@ -338,7 +339,20 @@ class LocalMapper:
                     self._cull_map_points(kf)
             with self._span("Map point creation"):
                 self._create_new_points(kf)  # manages the lock internally
-            if not self._queue:
+            # The reference runs SearchInNeighbors only when the queue is
+            # empty (LocalMapping.cpp:76-79) — safe there because its CPU
+            # stages turn a keyframe around in ~100 ms and the queue rarely
+            # backs up. Here a backed-up queue starving fusion is a
+            # FEEDBACK LOOP: fresh stereo points (nobs=2) die at the age-2
+            # cull unless fusion adds a neighbor observation, close-point
+            # support collapses, and the tracker's need_close emergency
+            # (Tracking.cpp:852-857) floods the queue further (r5 diag:
+            # fusion ran for 49/118 keyframes; tracked_close p50=97 vs the
+            # <100 gate). Documented deviation: force fusion after 2
+            # consecutive skips, mirroring the BA force-run below.
+            self._kfs_since_fuse += 1
+            if not self._queue or self._kfs_since_fuse >= 2:
+                self._kfs_since_fuse = 0
                 with self._span("Map point fusion"):
                     self._fuse_neighbors(kf)  # manages the lock internally
             # gate on _stopped: a LoopCloser.request_stop() landing between
@@ -822,10 +836,12 @@ class LocalMapper:
         # iterations; on abort the partial estimate is still written back
         res = ba.ba_solve_pm_interruptible(
             prob, self.cam, should_abort=lambda: self._abort_ba,
-            sync_every=5,  # abort latency vs sync cost: each sync is a
-            # full tunnel round trip (~25 ms measured r3); at the small
-            # BA tier 5 LM iterations are ~20 ms of device time, so the
-            # tracker's InterruptBA still preempts within a frame period
+            sync_every=10,  # abort latency vs sync cost: each sync is a
+            # full tunnel round trip (~30 ms measured r5); at the small
+            # BA tier 10 LM iterations are ~21 ms of device time (r5
+            # profile: 10.5 ms per 5-iteration chunk), so the tracker's
+            # InterruptBA still preempts within ~a frame period while the
+            # 5+10 schedule pays 2 round trips instead of 3
         )
         with self.lock:
             apply_pm_result(self.map, res, meta)

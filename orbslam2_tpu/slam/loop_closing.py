@@ -632,7 +632,7 @@ class LoopCloser:
             self.local_mapper.request_stop()
             self.local_mapper.wait_stopped()
         try:
-            with self.lock:
+            with self._span("Loop propagate"), self.lock:
                 pg_args, fuse_args = self._correct_loop_locked(kf)
             # loop-point fusion: device matching unlocked, merges locked
             # per target (mapping is parked; only the tracker interleaves)
@@ -731,7 +731,12 @@ class LoopCloser:
             T_new[:3, :3] = Rc
             T_new[:3, 3] = (tc / sc).astype(np.float32)
             m.kf_pose[ki] = T_new
-            m.update_connections(ki)
+            # NOTE: no update_connections here — the reference refreshes
+            # covisibility ONCE per member in the loop-connections phase
+            # after fusion (LoopClosing.cpp:537-552), which
+            # _search_and_fuse does; doing it during the locked
+            # propagation doubled the tracker-blocking freeze (r5 bench:
+            # max frame 1.14 s rode exactly this window)
 
         # attach matched loop points at the current keyframe (descriptor
         # refreshes deferred to one batched pass in _search_and_fuse)
@@ -1061,9 +1066,14 @@ class LoopCloser:
                 points=res.points[:P], edge_inlier=res.edge_inlier[:P]
             )
         else:
+            # 10+15 LM iterations (reference GlobalBundleAdjustemnt runs
+            # 10 exact-solve iterations, Optimizer.cpp:40; the matrix-free
+            # PCG inner solve is approximate, so extra outer iterations
+            # buy back the exactness — affordable now that GBA rides its
+            # own thread off the correction's critical path)
             res = ba.ba_solve_pm_interruptible(
-                prob, self.frontend.camera, n_iters_first=5,
-                n_iters_second=10,
+                prob, self.frontend.camera, n_iters_first=10,
+                n_iters_second=15, sync_every=5, n_cg=40,
                 should_abort=lambda: self._gba_stop,
             )
         if self._gba_stop:

@@ -575,53 +575,73 @@ class SlamMap:
     # and :341-399), one vectorized pass.
 
     def compute_distinctive_descriptors_batch(self, pids):
-        """Batched ComputeDistinctiveDescriptors over many points."""
+        """Batched ComputeDistinctiveDescriptors over many points
+        (reference MapPoint.cpp:206-270: per point, the observation
+        descriptor with the least median Hamming distance to the others).
+
+        Gathers ride the dense observation mirror and are vectorized per
+        OBSERVING KEYFRAME — the per-point dict walk held the GIL for tens
+        of milliseconds per fusion pass, stretching the tracker's locked
+        host sections (r5 profile). Tie-breaking among equal medians picks
+        the first observation slot, as the reference's running-min does
+        over its (equally arbitrary) observation order."""
         self.version += 1
-        todo, descs = [], []
-        for p in pids:
-            p = int(p)
-            if p not in self.pt_valid:
-                continue
-            obs = [
-                (k, i) for k, i in self.pt_obs[p].items() if k in self.kf_valid
-            ]
-            if len(obs) == 1:
-                k, i = obs[0]
-                self.pt_desc[p] = self.kf_frame[k].desc[i]
-            elif len(obs) > 1:
-                todo.append(p)
-                descs.append(
-                    np.stack([self.kf_frame[k].desc[i] for k, i in obs])
-                )
-        if not todo:
+        pids = np.asarray(
+            pids if isinstance(pids, np.ndarray) else list(pids), np.int64
+        )
+        if pids.size == 0:
             return
-        D = max(len(d) for d in descs)
-        P = len(todo)
+        pids = pids[self.valid_mask(pids)]
+        if pids.size == 0:
+            return
+        rows = self.pt_obs_kf[pids]  # [P, D] observing kf ids (-1 empty)
+        idxs = self.pt_obs_idx[pids]
+        ok = (rows >= 0) & self.kf_valid.mask_of(rows)
+        cnt = ok.sum(axis=1)
+        alive = cnt >= 1
+        pids, rows, idxs, ok, cnt = (
+            pids[alive], rows[alive], idxs[alive], ok[alive], cnt[alive]
+        )
+        if pids.size == 0:
+            return
+        P, D = rows.shape
         arr = np.zeros((P, D, 8), np.uint32)
-        cnt = np.zeros(P, np.int64)
-        for i, d in enumerate(descs):
-            arr[i, : len(d)] = d
-            cnt[i] = len(d)
+        for k in np.unique(rows[ok]):
+            m = ok & (rows == k)
+            arr[m] = self.kf_frame[int(k)].desc[idxs[m]]
+        # compact valid observations to the front, trim to the max count
+        order = np.argsort(~ok, axis=1, kind="stable")
+        arr = np.take_along_axis(arr, order[:, :, None], axis=1)
+        Dm = int(cnt.max())
+        arr = arr[:, :Dm]
+
+        single = cnt == 1
+        if single.any():
+            self.pt_desc[pids[single]] = arr[single, 0]
+        multi = ~single
+        if not multi.any():
+            return
+        arr, cnt, pids = arr[multi], cnt[multi], pids[multi]
         x = np.bitwise_xor(arr[:, :, None, :], arr[:, None, :, :]).view(np.uint8)
-        dist = _POPCOUNT8[x].sum(axis=-1).astype(np.float64)  # [P, D, D]
+        dist = _POPCOUNT8[x].sum(axis=-1).astype(np.float64)  # [P, Dm, Dm]
         # mask invalid columns to +inf so sorting pushes them past the
         # valid prefix; np.median over the valid count via two middles
-        col_valid = np.arange(D)[None, :] < cnt[:, None]
+        col_valid = np.arange(Dm)[None, :] < cnt[:, None]
         dist = np.where(col_valid[:, None, :], dist, np.inf)
         dist.sort(axis=-1)
         lo = (cnt - 1) // 2
         hi = cnt // 2
+        Pm = len(pids)
         lo_v = np.take_along_axis(
-            dist, np.broadcast_to(lo[:, None, None], (P, D, 1)), axis=2
+            dist, np.broadcast_to(lo[:, None, None], (Pm, Dm, 1)), axis=2
         )[..., 0]
         hi_v = np.take_along_axis(
-            dist, np.broadcast_to(hi[:, None, None], (P, D, 1)), axis=2
+            dist, np.broadcast_to(hi[:, None, None], (Pm, Dm, 1)), axis=2
         )[..., 0]
-        med = 0.5 * (lo_v + hi_v)  # [P, D]
+        med = 0.5 * (lo_v + hi_v)  # [P, Dm]
         med = np.where(col_valid, med, np.inf)
         best = np.argmin(med, axis=1)
-        for i, p in enumerate(todo):
-            self.pt_desc[p] = arr[i, best[i]]
+        self.pt_desc[pids] = arr[np.arange(Pm), best]
 
     def update_normals_batch(self, pids):
         """Batched UpdateNormalAndDepth over many points."""

@@ -269,6 +269,9 @@ class System:
                 def ba_tier(prob=prob):
                     st = ba_mod.ba_pm_init_jit(prob, cam)
                     st = ba_mod.ba_pm_step_jit(prob, cam, st, 20)
+                    # GBA runs the deeper PCG (n_cg=40, a distinct static
+                    # value => distinct program)
+                    st = ba_mod.ba_pm_step_jit(prob, cam, st, 40)
                     return ba_mod.pm_inlier_mask_jit(
                         st.poses, st.points, prob, cam
                     )

@@ -141,7 +141,11 @@ class Tracker:
                 return pfk
 
             pfk_a = match(th)
-            pfk = jnp.where(jnp.sum(pfk_a >= 0) < 20, match(2.0 * th), pfk_a)
+            pfk = jax.lax.cond(
+                jnp.sum(pfk_a >= 0) < 20,
+                lambda: match(2.0 * th),
+                lambda: pfk_a,
+            )
             matched = pfk >= 0
             pw_kp = _onehot_rows(pfk, pw_src)
             obs, is_stereo, inv_sig_kp = _frame_obs(fd)
@@ -218,7 +222,14 @@ class Tracker:
                 return pfk
 
             pfk_a = match(th)
-            pfk = jnp.where(jnp.sum(pfk_a >= 0) < 20, match(2.0 * th), pfk_a)
+            # widen-on-few retry (Tracking.cpp:736-741): lax.cond runs the
+            # 2x-radius rematch ONLY when needed (jnp.where computed both
+            # every frame — ~2 ms of wasted matcher time in the hot path)
+            pfk = jax.lax.cond(
+                jnp.sum(pfk_a >= 0) < 20,
+                lambda: match(2.0 * th),
+                lambda: pfk_a,
+            )
             hit1 = pfk >= 0
             pw1 = _onehot_rows(pfk, src_pw)
             obs, is_stereo, inv_sig = _frame_obs(fd)

@@ -63,7 +63,7 @@ def trajectory_tum(
         q = _rot_to_quat(Twc[:3, :3])
         t = Twc[:3, 3]
         lines.append(
-            f"{e.timestamp:.6e} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+            f"{e.timestamp:.6f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
             f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}"
         )
     return lines
@@ -77,7 +77,7 @@ def keyframe_trajectory_tum(slam_map: SlamMap) -> List[str]:
         t = Twc[:3, 3]
         ts = slam_map.kf_timestamp[kf]
         lines.append(
-            f"{ts:.6e} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+            f"{ts:.6f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
             f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}"
         )
     return lines

@@ -198,7 +198,7 @@ class MapDrawer:
     # ---- figure assembly --------------------------------------------
 
     def _figure(self, show_points=True, show_keyframes=True,
-                show_graph=True):
+                show_graph=True, follow=False, follow_radius=8.0):
         import matplotlib
 
         matplotlib.use("Agg")
@@ -215,6 +215,12 @@ class MapDrawer:
         ax.set_xlabel("x [m]")
         ax.set_ylabel("z [m]")
         ax.legend(loc="upper right", fontsize=8)
+        if follow and self._Tcw is not None:
+            # menuFollowCamera analog (reference Viewer.cpp:46,73-81:
+            # s_cam.Follow(Twc)): viewport locked onto the current camera
+            c = -self._Tcw[:3, :3].T @ self._Tcw[:3, 3]
+            ax.set_xlim(c[0] - follow_radius, c[0] + follow_radius)
+            ax.set_ylim(c[2] - follow_radius, c[2] + follow_radius)
         return fig
 
     def render_array(self, **kw) -> np.ndarray:
@@ -248,12 +254,60 @@ class Viewer:
         self.out_dir = out_dir
         self.frame_drawer = FrameDrawer(system)
         self.map_drawer = MapDrawer(system)
-        # menu toggles (menuFollowCamera/menuShowPoints/... analogs)
-        self.follow_camera = True
+        # menu toggles (menuFollowCamera/menuShowPoints/... analogs,
+        # reference Viewer.cpp:46-52). Consumed by every render; the
+        # setters below may be called from ANY thread while the live loop
+        # runs — the same contract as Pangolin menu clicks.
+        self.follow_camera = False
         self.show_points = True
         self.show_keyframes = True
         self.show_graph = True
         self._count = 0
+        import threading as _threading
+
+        self._menu_lock = _threading.Lock()
+        self._pending_cmds = []
+
+    # ---- runtime menu controls (reference Viewer.cpp:46-52,60-113) ----
+
+    def set_follow_camera(self, on: bool):
+        """menuFollowCamera: lock the map viewport onto the camera."""
+        self.follow_camera = bool(on)
+
+    def set_show(self, points=None, keyframes=None, graph=None):
+        """menuShowPoints / menuShowKeyFrames / menuShowGraph."""
+        if points is not None:
+            self.show_points = bool(points)
+        if keyframes is not None:
+            self.show_keyframes = bool(keyframes)
+        if graph is not None:
+            self.show_graph = bool(graph)
+
+    def set_localization_mode(self, on: bool):
+        """menuLocalizationMode (Viewer.cpp:87-97): queued and applied by
+        the viewer loop — the reference likewise calls Activate/
+        DeactivateLocalizationMode from its render thread."""
+        with self._menu_lock:
+            self._pending_cmds.append(("localization", bool(on)))
+
+    def request_reset(self):
+        """menuReset (Viewer.cpp:99-108): full system reset from the UI."""
+        with self._menu_lock:
+            self._pending_cmds.append(("reset",))
+
+    def poll_menu(self):
+        """Apply queued menu commands (called by the live loop each
+        iteration; callable directly in unthreaded use)."""
+        with self._menu_lock:
+            cmds, self._pending_cmds = self._pending_cmds, []
+        for cmd in cmds:
+            if cmd[0] == "localization":
+                if cmd[1]:
+                    self.system.activate_localization_mode()
+                else:
+                    self.system.deactivate_localization_mode()
+            elif cmd[0] == "reset":
+                self.system.reset()
 
     def update(self, image: Optional[np.ndarray] = None):
         self._count += 1
@@ -303,6 +357,10 @@ class Viewer:
             while not self._live_stop.is_set():
                 t0 = _time.monotonic()
                 try:
+                    # menu commands first, OUTSIDE the map lock (reference
+                    # Viewer::Run polls its menus each iteration and calls
+                    # into System, Viewer.cpp:60-113)
+                    self.poll_menu()
                     with self.system.map.lock:
                         self.frame_drawer.update()
                         lf = self.system.tracker.last_frame
@@ -313,6 +371,7 @@ class Viewer:
                             show_points=self.show_points,
                             show_keyframes=self.show_keyframes,
                             show_graph=self.show_graph,
+                            follow=self.follow_camera,
                         )
                     self.latest_frame = frame_img
                     self.latest_map = map_img

@@ -233,3 +233,54 @@ class TestLiveViewer:
         assert sys_.viewer.latest_map.ndim == 3
         assert sys_.viewer.latest_frame is not None
         assert os.path.exists(os.path.join(str(tmp_path), "live_map.png"))
+
+    def test_live_viewer_menu_controls(self):
+        """Runtime menu controls (reference Viewer.cpp:46-52 Pangolin
+        menus): localization-mode switch, reset, follow-camera and the
+        show toggles are applied BY the live render loop."""
+        world = SyntheticWorld(n_points=900, seed=5, baseline=0.2)
+        cfg = SlamConfig(
+            camera=CameraConfig(
+                fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+                bf=world.bf, width=world.width, height=world.height,
+                fps=20.0,
+            ),
+            orb=OrbConfig(n_features=1000),
+        )
+        sys_ = System(None, cfg, Sensor.STEREO, use_viewer=True)
+        poses_gt, frames = world.render_sequence(8, step=0.06)
+        for i, (imL, imR) in enumerate(frames):
+            sys_.track_stereo(imL, imR, i / 20.0)
+        v = sys_.viewer
+        import time as _t
+
+        # menuLocalizationMode ON: the render loop must flip the tracker
+        v.set_localization_mode(True)
+        t0 = _t.monotonic()
+        while not sys_.tracker.only_tracking and _t.monotonic() - t0 < 30:
+            _t.sleep(0.1)
+        assert sys_.tracker.only_tracking, "viewer loop must apply the menu"
+        assert sys_.local_mapper.is_stopped()
+        v.set_localization_mode(False)
+        t0 = _t.monotonic()
+        while sys_.tracker.only_tracking and _t.monotonic() - t0 < 30:
+            _t.sleep(0.1)
+        assert not sys_.tracker.only_tracking
+
+        # follow-camera + show toggles are consumed by the next render
+        v.set_follow_camera(True)
+        v.set_show(points=False, graph=False)
+        n0 = v.n_live_renders
+        t0 = _t.monotonic()
+        while v.n_live_renders <= n0 + 1 and _t.monotonic() - t0 < 60:
+            _t.sleep(0.2)
+        assert v.live_error is None
+        assert v.n_live_renders > n0
+
+        # menuReset: full system reset from the UI thread
+        v.request_reset()
+        t0 = _t.monotonic()
+        while sys_.map.n_keyframes() > 0 and _t.monotonic() - t0 < 30:
+            _t.sleep(0.1)
+        assert sys_.map.n_keyframes() == 0
+        sys_.shutdown()
