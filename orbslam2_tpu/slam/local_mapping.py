@@ -648,13 +648,17 @@ class LocalMapper:
             self.map.update_normals_batch(pids)
             self.map.update_connections(kf)
 
-    def _project_for_fuse(self, kf: int, pos, normal, dmin, dmax):
+    def _project_for_fuse(self, kf: int, pos, normal, dmin, dmax,
+                          T=None, Ow=None):
         """Host frustum/scale gates for fusing points into one keyframe
         (the cheap numpy half of ORBmatcher::Fuse). Returns
-        (uv [P,2] f32, ur [P] f32, level [P] i32, visible [P] bool)."""
+        (uv [P,2] f32, ur [P] f32, level [P] i32, visible [P] bool).
+        Pass a snapshotted (T, Ow) to run WITHOUT the map lock."""
         c = self.config.camera
-        T = self.map.kf_pose[kf].astype(np.float64)
-        Ow = self.map.kf_center(kf)
+        if T is None:
+            T = self.map.kf_pose[kf].astype(np.float64)
+        if Ow is None:
+            Ow = self.map.kf_center(kf)
         pc = pos.astype(np.float64) @ T[:3, :3].T + T[:3, 3]
         z = pc[:, 2]
         zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
@@ -716,34 +720,44 @@ class LocalMapper:
         if pids.size == 0 or not targets:
             return
         sh = self.shapes
+        # snapshot under the lock (array copies only); the per-target
+        # frustum projections run UNLOCKED below — at 16 targets x 2048
+        # points they were ~tens of ms of numpy holding the map lock
+        # against the tracker's frame admin (r5 p50 profile)
         with self.lock:
             pids = shapes_mod.select_top(
                 pids, self.map.pt_nobs[pids].astype(np.float64),
                 sh.bucket_select(len(pids), 256, sh.fuse_src_cap),
             )
             pos, desc, normal, dmin, dmax = self.map.points_array(pids)
-            P = sh.bucket(len(pids), 256, sh.fuse_src_cap)
-
-            def padto(a, fill=0):
-                return shapes_mod.pad_rows(a, P, fill)
-
-            rows = []
+            snaps = []
             for t in targets:
                 if t not in self.map.kf_valid:
                     continue
-                uv, ur, level, visible = self._project_for_fuse(
-                    t, pos, normal, dmin, dmax
-                )
-                # skip points this target already observes (vectorized
-                # over its feature->point table)
                 tp = self.map.kf_point[t]
-                visible &= ~np.isin(pids, tp[tp >= 0])
-                rows.append((t, uv, ur, level, visible))
-            rows = [r for r in rows if r[4].any()]
-            if not rows:
-                return
-            K = sh.bucket_select(len(rows), 1, sh.fuse_targets_cap)
-            frames = {r[0]: self.map.kf_frame[r[0]] for r in rows}
+                snaps.append((
+                    t, self.map.kf_pose[t].astype(np.float64).copy(),
+                    self.map.kf_center(t), tp[tp >= 0].copy(),
+                ))
+            frames = {s[0]: self.map.kf_frame[s[0]] for s in snaps}
+        P = sh.bucket(len(pids), 256, sh.fuse_src_cap)
+
+        def padto(a, fill=0):
+            return shapes_mod.pad_rows(a, P, fill)
+
+        rows = []
+        for t, T, Ow, tp_pids in snaps:
+            uv, ur, level, visible = self._project_for_fuse(
+                t, pos, normal, dmin, dmax, T=T, Ow=Ow
+            )
+            # skip points this target already observes (vectorized
+            # over its feature->point table)
+            visible &= ~np.isin(pids, tp_pids)
+            rows.append((t, uv, ur, level, visible))
+        rows = [r for r in rows if r[4].any()]
+        if not rows:
+            return
+        K = sh.bucket_select(len(rows), 1, sh.fuse_targets_cap)
 
         uvs, urs, lvls, viss = [], [], [], []
         kuv, koct, kur, kdesc, kval = [], [], [], [], []
@@ -778,30 +792,33 @@ class LocalMapper:
         if pids.size == 0:
             return
         sh = self.shapes
+        # snapshot under the lock; projection math runs unlocked (same
+        # rationale as _fuse_into_batch)
         with self.lock:
             if kf not in self.map.kf_valid:
                 return
             f = self.map.kf_frame[kf]
-            # host-side frustum gates (cheap numpy), device for the matching
             tp = self.map.kf_point[kf]
             pids = pids[~np.isin(pids, tp[tp >= 0])]
             if pids.size == 0:
                 return
             pos, desc, normal, dmin, dmax = self.map.points_array(pids)
-            uv, ur, level, visible = self._project_for_fuse(
-                kf, pos, normal, dmin, dmax
-            )
-            if not visible.any():
-                return
-            # only frustum-visible rows go to the device (bounds the fixed
-            # bucket; invisible rows could never match anyway)
-            sel = np.nonzero(visible)[0]
-            cap = sh.bucket_select(len(sel), 256, sh.fuse_pt_cap)
-            if len(sel) > cap:
-                sel = sel[:cap]  # overflow returns on a later keyframe
-            pids, uv, ur, level = pids[sel], uv[sel], ur[sel], level[sel]
-            desc, visible = desc[sel], visible[sel]
-            P = sh.bucket(len(pids), 256, sh.fuse_pt_cap)
+            T_kf = self.map.kf_pose[kf].astype(np.float64).copy()
+            Ow_kf = self.map.kf_center(kf)
+        uv, ur, level, visible = self._project_for_fuse(
+            kf, pos, normal, dmin, dmax, T=T_kf, Ow=Ow_kf
+        )
+        if not visible.any():
+            return
+        # only frustum-visible rows go to the device (bounds the fixed
+        # bucket; invisible rows could never match anyway)
+        sel = np.nonzero(visible)[0]
+        cap = sh.bucket_select(len(sel), 256, sh.fuse_pt_cap)
+        if len(sel) > cap:
+            sel = sel[:cap]  # overflow returns on a later keyframe
+        pids, uv, ur, level = pids[sel], uv[sel], ur[sel], level[sel]
+        desc, visible = desc[sel], visible[sel]
+        P = sh.bucket(len(pids), 256, sh.fuse_pt_cap)
 
         def padto(a, fill=0):
             return shapes_mod.pad_rows(a, P, fill)

@@ -375,9 +375,14 @@ class Tracker:
             with self._span("Fused frame step"):
                 feats, host = self._jit_full_step(*args)
                 # ONE batched sync per frame, outside the map lock so the
-                # mapping/loop workers run during the device round trip
-                host = jax.device_get(host)
+                # mapping/loop workers run during the device round trip.
+                # The frame's feature arrays ride the same transfer: a
+                # keyframe-creating frame would otherwise lazy-fetch them
+                # for a second ~30 ms tunnel round trip (r5: 'New keyframe
+                # creation' 56 ms x 115, most of it that hidden fetch)
+                host, fd_host = jax.device_get((host, feats))
             frame = FrameHost(feats, timestamp, self.frame_id, eager=False)
+            frame.attach_host(fd_host)
             self.frame_id += 1
             with self.map.lock:
                 self._track(frame, fused=(host, aux))
