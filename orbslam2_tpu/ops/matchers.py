@@ -124,6 +124,39 @@ def search_by_bow(
     return idx, best, keep
 
 
+def search_by_bow_nodes(
+    desc_a: jax.Array,  # [A,8] uint32
+    valid_a: jax.Array,  # [A] bool
+    angle_a: jax.Array,  # [A]
+    node_a: jax.Array,  # [A] int32 FeatureVector node ids (-1 invalid)
+    desc_b: jax.Array,  # [B,8] uint32
+    valid_b: jax.Array,  # [B] bool
+    angle_b: jax.Array,  # [B]
+    node_b: jax.Array,  # [B] int32
+    ratio: jax.Array | float,
+):
+    """SearchByBoW with the reference's FeatureVector-node bucketing
+    (ORBmatcher.cpp:354-487): candidate pairs are restricted to features
+    whose descriptors descend to the SAME vocabulary node, and the
+    mutual-ratio test runs WITHIN the bucket — exactly the reference's
+    semantics, where the second-best competitor comes from the node
+    bucket rather than the whole frame. On repetitive scenes this admits
+    matches the dense all-pairs ratio test rejects (its global
+    second-best is near-tied), which is what the loop-closure BoW gate
+    (>=20, LoopClosing.cpp:271) needs at revisits."""
+    d = hamming.hamming_matrix(desc_a, desc_b)
+    mask = (
+        valid_a[:, None]
+        & valid_b[None, :]
+        & (node_a[:, None] == node_b[None, :])
+        & (node_a >= 0)[:, None]
+    )
+    idx, best, second = hamming.masked_two_smallest(d, mask)
+    ok = (best < hamming.TH_LOW) & (best < ratio * second)
+    keep = rotation_consistency_mask(angle_a, angle_b[idx], ok)
+    return idx, best, keep
+
+
 class StereoMatches(NamedTuple):
     u_right: jax.Array  # [N] float32, -1 where unmatched
     depth: jax.Array  # [N] float32, -1 where unmatched

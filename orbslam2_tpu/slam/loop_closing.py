@@ -110,16 +110,24 @@ class LoopCloser:
         # 790 ms mean x 96 attempts, ~all rejected at the >=20 gate).
         # Candidate tuples stack INSIDE the jit; collision resolution
         # (best-distance-wins per kf2 feature) is vectorized on device.
-        def _bow_batch(desc1, has1, ang1, descs2, has2s, angs2):
+        # Matching uses the reference's FeatureVector-node bucketing
+        # (ORBmatcher.cpp:354-487): the ratio test runs within the
+        # vocabulary-node bucket, not against the whole frame — at
+        # revisits of repetitive scenes the dense global second-best is
+        # near-tied and rejected nearly everything (r4/r5 LOOP_TRACE:
+        # true-revisit candidates died at n_bow 11-15 vs the >=20 gate).
+        def _bow_batch(desc1, has1, ang1, node1, descs2, has2s, angs2,
+                       nodes2):
             d2 = jnp.stack(descs2)
             h2 = jnp.stack(has2s)
             a2 = jnp.stack(angs2)
+            n2 = jnp.stack(nodes2)
             N1 = desc1.shape[0]
             rows1 = jnp.arange(N1, dtype=jnp.int32)
 
-            def per_cand(dc, hc, ac):
-                idx, best, keep = matchers.search_by_bow(
-                    desc1, has1, ang1, dc, hc, ac, 0.75
+            def per_cand(dc, hc, ac, nc):
+                idx, best, keep = matchers.search_by_bow_nodes(
+                    desc1, has1, ang1, node1, dc, hc, ac, nc, 0.75
                 )
                 d_eff = jnp.where(keep, best, hamming.MAX_DIST)
                 src2, _ = matchers._resolve_collisions(
@@ -131,7 +139,7 @@ class LoopCloser:
                 )
                 return idx, win
 
-            return jax.vmap(per_cand)(d2, h2, a2)
+            return jax.vmap(per_cand)(d2, h2, a2, n2)
 
         self._jit_bow_batch = jax.jit(_bow_batch)
         self._jit_opt_sim3 = jax.jit(
@@ -240,21 +248,28 @@ class LoopCloser:
         features under the map lock and runs ONE batched BoW-match device
         program unlocked; phase 2 walks candidates through the Sim3
         RANSAC / guided-search / LM / projection gates."""
+        db = self.reloc.database
         with self.lock:
             if kf not in self.map.kf_valid:
                 return False
             f1 = self.map.kf_frame[kf]
             p1 = self.map.kf_point[kf].copy()
             has1 = (p1 >= 0) & f1.valid
+            node1 = db.kf_nodes.get(kf)
+            if node1 is None:  # pragma: no cover - detect adds kf first
+                node1 = self.reloc.compute_bow_nodes(f1.desc, f1.valid)[1]
             snap = []
             for cand in self._candidates:
                 if cand not in self.map.kf_valid:
                     continue
                 f2 = self.map.kf_frame[cand]
                 p2 = self.map.kf_point[cand].copy()
+                node2 = db.kf_nodes.get(cand)
+                if node2 is None:  # pragma: no cover
+                    node2 = self.reloc.compute_bow_nodes(f2.desc, f2.valid)[1]
                 snap.append((
                     cand, f2.dev.desc, (p2 >= 0) & f2.valid,
-                    f2.dev.angle, p2,
+                    f2.dev.angle, p2, node2.astype(np.int32),
                 ))
         if not snap:
             return False
@@ -268,12 +283,14 @@ class LoopCloser:
             (np.zeros_like(snap[0][2]),) * pad
         )
         angs = tuple(s[3] for s in snap) + (snap[0][3],) * pad
+        nodes2 = tuple(s[5] for s in snap) + (snap[0][5],) * pad
         idxs, wins = jax.device_get(
             self._jit_bow_batch(
-                f1.dev.desc, has1, f1.dev.angle, descs, has2s, angs
+                f1.dev.desc, has1, f1.dev.angle,
+                node1.astype(np.int32), descs, has2s, angs, nodes2,
             )
         )
-        for c, (cand, _, _, _, p2) in enumerate(snap):
+        for c, (cand, _, _, _, p2, _) in enumerate(snap):
             matches = {}
             for i in np.nonzero(wins[c])[0]:
                 pid = int(p2[idxs[c][i]])

@@ -43,10 +43,11 @@ class Relocalizer:
         ))
         self._key_i = 0
 
-        # device: tree descent -> word ids; host: sparse tf-idf vector
-        # (the dense [n_words] vector does not scale to ORBvoc's 1M words)
+        # device: tree descent -> (word ids, FeatureVector node ids);
+        # host: sparse tf-idf vector (the dense [n_words] vector does not
+        # scale to ORBvoc's 1M words)
         self._jit_transform = jax.jit(
-            lambda d, v: bow_mod.transform_words(vocab, d, v)
+            lambda d, v: bow_mod.transform_words_nodes(vocab, d, v)
         )
         self._word_weight_np = np.asarray(vocab.word_weight)
         #: per-attempt gate trace (the RELOC_TRACE.json artifact): which of
@@ -112,15 +113,21 @@ class Relocalizer:
 
     def compute_bow(self, desc: np.ndarray, valid: np.ndarray):
         """Returns (per-descriptor word ids [N], sparse (wid, weight))."""
-        words = np.asarray(
+        words, _ = self.compute_bow_nodes(desc, valid)
+        return words, bow_mod.bow_sparse(words, self._word_weight_np)
+
+    def compute_bow_nodes(self, desc: np.ndarray, valid: np.ndarray):
+        """Returns (word ids [N], FeatureVector node ids [N])."""
+        words, nodes = jax.device_get(
             self._jit_transform(jnp.asarray(desc), jnp.asarray(valid))
         )
-        return words, bow_mod.bow_sparse(words, self._word_weight_np)
+        return np.asarray(words), np.asarray(nodes)
 
     def add_keyframe(self, kf: int):
         f = self.map.kf_frame[kf]
-        words, vec = self.compute_bow(f.desc, f.valid)
-        self.database.add(kf, words, vec)
+        words, nodes = self.compute_bow_nodes(f.desc, f.valid)
+        vec = bow_mod.bow_sparse(words, self._word_weight_np)
+        self.database.add(kf, words, vec, nodes=nodes)
 
     def remove_keyframe(self, kf: int):
         self.database.erase(kf)

@@ -403,12 +403,14 @@ class System:
                 zeros_feat["valid"], zeros_feat["angle"], 0.75,
             ))
             Cb = sh.bucket_select(2, 2, 8)
+            nodes0 = np.zeros(N, np.int32)
             run("loop_bow_batch", lambda: lc._jit_bow_batch(
                 zeros_feat["desc"], zeros_feat["valid"],
-                zeros_feat["angle"],
+                zeros_feat["angle"], nodes0,
                 (zeros_feat["desc"],) * Cb,
                 (np.zeros(N, bool),) * Cb,
                 (zeros_feat["angle"],) * Cb,
+                (nodes0,) * Cb,
             ))
             B = sh.bucket(256, 256, sh.sim3_cap)
             X = jnp.zeros((B, 3), jnp.float32)

@@ -40,6 +40,30 @@ class Vocabulary(NamedTuple):
 
 def transform_words(voc: Vocabulary, desc: jax.Array, valid: jax.Array):
     """desc [N,8] uint32 -> word ids [N] int32 (-1 for invalid slots)."""
+    words, _ = transform_words_nodes(voc, desc, valid, node_level=1)
+    return words
+
+
+def feature_node_level(depth: int) -> int:
+    """Tree level (steps from the root) of the FeatureVector grouping
+    node. DBoW2 transforms with levelsup=4 — nodes 4 levels above the
+    leaves (reference KeyFrame.cpp:51-53 `mpORBvocabulary->transform(...,
+    4)`; TemplatedVocabulary.h transform(..., levelsup)). For ORBvoc
+    (k=10, L=6) that is level 2 => ~100 buckets; shallower vocabularies
+    clamp to level >= 1."""
+    return max(1, depth - 4)
+
+
+def transform_words_nodes(
+    voc: Vocabulary, desc: jax.Array, valid: jax.Array, node_level: int | None = None
+):
+    """desc [N,8] uint32 -> (word ids [N] int32, FeatureVector node ids
+    [N] int32), both -1 for invalid slots. The node id is the tree node
+    reached after `node_level` descent steps — the DBoW2 FeatureVector
+    grouping key used by the reference's SearchByBoW bucket walk
+    (ORBmatcher.cpp:354-487)."""
+    if node_level is None:
+        node_level = feature_node_level(voc.depth)
 
     def descend(d):
         def step(node, _):
@@ -52,13 +76,13 @@ def transform_words(voc: Vocabulary, desc: jax.Array, valid: jax.Array):
             # ragged trees: a node that is already a leaf has no children —
             # stay put for the remaining scan steps.
             nxt = jnp.where(jnp.all(ci < 0), node, ci[jnp.argmin(dist)])
-            return nxt, None
+            return nxt, nxt
 
-        node, _ = jax.lax.scan(step, jnp.int32(0), None, length=voc.depth)
-        return voc.node_word[node]
+        node, path = jax.lax.scan(step, jnp.int32(0), None, length=voc.depth)
+        return voc.node_word[node], path[node_level - 1]
 
-    words = jax.vmap(descend)(desc)
-    return jnp.where(valid, words, -1)
+    words, nodes = jax.vmap(descend)(desc)
+    return jnp.where(valid, words, -1), jnp.where(valid, nodes, -1)
 
 
 def bow_sparse(words: np.ndarray, word_weight: np.ndarray):

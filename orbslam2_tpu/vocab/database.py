@@ -33,13 +33,20 @@ class KeyFrameDatabase:
         self.inverted: Dict[int, List[int]] = {}
         self.kf_words: Dict[int, np.ndarray] = {}  # kf -> sorted unique word ids
         self.kf_bow: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}  # sparse (wid, w)
+        #: kf -> per-feature FeatureVector node ids [N] int32 (-1 invalid)
+        #: — the reference KeyFrame's mFeatVec analog (KeyFrame.cpp:51-53),
+        #: used by the node-bucketed SearchByBoW in loop closing
+        self.kf_nodes: Dict[int, np.ndarray] = {}
 
-    def add(self, kf: int, words: np.ndarray, bow):
+    def add(self, kf: int, words: np.ndarray, bow, nodes: np.ndarray = None):
         """words: per-descriptor word ids [N] (-1 invalid); bow: sparse
-        (word ids, weights) from bow_sparse."""
+        (word ids, weights) from bow_sparse; nodes: per-descriptor
+        FeatureVector node ids [N] (-1 invalid)."""
         uw = np.unique(words[words >= 0])
         self.kf_words[kf] = uw
         self.kf_bow[kf] = bow
+        if nodes is not None:
+            self.kf_nodes[kf] = nodes
         for w in uw.tolist():
             self.inverted.setdefault(w, []).append(kf)
 
@@ -49,11 +56,13 @@ class KeyFrameDatabase:
             if lst and kf in lst:
                 lst.remove(kf)
         self.kf_bow.pop(kf, None)
+        self.kf_nodes.pop(kf, None)
 
     def clear(self):
         self.inverted.clear()
         self.kf_words.clear()
         self.kf_bow.clear()
+        self.kf_nodes.clear()
 
     # ------------------------------------------------------------------
 
