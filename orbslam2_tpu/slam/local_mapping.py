@@ -691,11 +691,11 @@ class LocalMapper:
         batched pass (the per-merge refresh dominated fusion host time)."""
         kf_pids = self.map.kf_point[kf]
         survivors = []
-        for j, pid in enumerate(pids):
+        # iterate matched rows only (the dense loop was ~33k python
+        # iterations per fusion pass holding the map lock)
+        for j in np.nonzero(np.asarray(best_idx) >= 0)[0]:
             fi = int(best_idx[j])
-            if fi < 0:
-                continue
-            pid = self.map.resolve_replaced(int(pid))
+            pid = self.map.resolve_replaced(int(pids[j]))
             if pid not in self.map.pt_valid or kf in self.map.pt_obs[pid]:
                 continue
             existing = int(kf_pids[fi])
@@ -907,22 +907,24 @@ class LocalMapper:
             n_pts = int(counted.sum())
             if n_pts == 0:
                 continue
-            # only points seen >3 times can be redundant; the per-point
-            # octave walk below runs on that (small) candidate set only
+            # only points seen >3 times can be redundant. The octave walk
+            # runs vectorized over the dense observation mirror (the
+            # per-point python dict walk held the map lock ~10s of ms per
+            # culling pass against the tracker)
             cand = counted.copy()
             cand[counted] = m.pt_nobs[pids[counted]] > 3
-            n_redundant = 0
-            for idx in np.nonzero(cand)[0]:
-                level = f.octave[idx]
-                n_obs_fine = 0
-                for ok, oidx in m.pt_obs[int(pids[idx])].items():
-                    if ok == k or ok not in m.kf_valid:
-                        continue
-                    if m.kf_frame[ok].octave[oidx] <= level + 1:
-                        n_obs_fine += 1
-                        if n_obs_fine >= 3:
-                            break
-                if n_obs_fine >= 3:
-                    n_redundant += 1
+            cand_idx = np.nonzero(cand)[0]
+            if cand_idx.size == 0:
+                continue
+            pids_c = pids[cand_idx]
+            rows_kf = m.pt_obs_kf[pids_c]  # [M,D]
+            rows_ix = m.pt_obs_idx[pids_c]
+            ok_slot = (rows_kf != k) & m.kf_valid.mask_of(rows_kf)
+            oct_obs = np.full(rows_kf.shape, 99, np.int32)
+            for uk in np.unique(rows_kf[ok_slot]).tolist():
+                sel = ok_slot & (rows_kf == uk)
+                oct_obs[sel] = m.kf_frame[uk].octave[rows_ix[sel]]
+            fine = ok_slot & (oct_obs <= (f.octave[cand_idx] + 1)[:, None])
+            n_redundant = int((fine.sum(axis=1) >= 3).sum())
             if n_redundant > 0.9 * n_pts:
                 m.remove_keyframe(k)

@@ -370,8 +370,9 @@ class Tracker:
             ):
                 return self._track_pipelined(images_u8, timestamp)
             self.flush_pipeline()
-            with self.map.lock:
-                args, aux = self._assemble_fused(images_u8)
+            with self._span("Fused assemble"):
+                with self.map.lock:
+                    args, aux = self._assemble_fused(images_u8)
             with self._span("Fused frame step"):
                 feats, host = self._jit_full_step(*args)
                 # ONE batched sync per frame, outside the map lock so the
@@ -384,8 +385,9 @@ class Tracker:
             frame = FrameHost(feats, timestamp, self.frame_id, eager=False)
             frame.attach_host(fd_host)
             self.frame_id += 1
-            with self.map.lock:
-                self._track(frame, fused=(host, aux))
+            with self._span("Fused apply"):
+                with self.map.lock:
+                    self._track(frame, fused=(host, aux))
             return frame.Tcw if self.state == TrackingState.OK else None
         self.flush_pipeline()
         # ORB extraction and stereo matching are ONE fused device program
