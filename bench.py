@@ -226,14 +226,14 @@ def main():
             np.concatenate(descs), k=8, depth=4, doc_ids=np.concatenate(docs)
         )
 
-    # TWO laps + seam margin (VERDICT r4 task 5): lap 1 accumulates drift
-    # and closes the loop at its seam (frames ~240-264); lap 2 then runs
-    # on the corrected map, revisiting every place — candidates near the
-    # seam exercise the Sim3 gates repeatedly (LOOP_TRACE records how many
-    # pass the bow-match gate), and a second closure can fire if drift
-    # re-accumulates. The final 24 frames revisit the start once more.
-    lap = world.trajectory_circuit(240)
-    poses_gt = lap + lap + lap[:24]
+    # Figure-8, TWO genuinely distinct loop closures (VERDICT r4 task 5):
+    # lap the A-circle twice (drift accumulates, the seam revisit closes
+    # loop #1 around frame ~265), hand over at the tangency point to the
+    # B-circle (position+heading continuous), lap it fully plus a margin
+    # (B's seam revisit closes loop #2 around frame ~545). After closure
+    # #1 merges the A laps, A revisits are covisible — correctly no
+    # further A event — while B's seam is an independent opportunity.
+    poses_gt, seq_meta = world.trajectory_figure8()
     n_frames = len(poses_gt)
     # dataset "IO": the host-side sprite renderer takes ~5 s/frame on this
     # small host (~20 min/run, all outside the timed window) — cache the
@@ -241,7 +241,7 @@ def main():
     # uint8 (the tracker quantizes uploads to uint8 anyway).
     cache_dir = os.path.join(REPO, ".render_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    seq_key = f"bench_s{world.seed}_n{world.n_points}_f{n_frames}_v2"
+    seq_key = f"bench_s{world.seed}_n{world.n_points}_f{n_frames}_v3"
     seq_path = os.path.join(cache_dir, seq_key + ".npz")
     if os.path.exists(seq_path):
         z = np.load(seq_path)

@@ -153,16 +153,29 @@ class SyntheticWorld:
             poses.append(T.astype(np.float32))
         return poses
 
-    def trajectory_circuit(self, n_frames: int, radius: float = 4.0):
+    def trajectory_circuit(
+        self,
+        n_frames: int,
+        radius: float = 4.0,
+        center=(0.0, 0.0),
+        direction: float = 1.0,
+        phase0: float = 0.0,
+    ):
         """Full circle inside the cylinder world, camera looking along the
         tangent — start region leaves view and is revisited only at the end
-        through a different map region: a genuine loop closure."""
+        through a different map region: a genuine loop closure.
+
+        center (x, z), direction (+1 counterclockwise / -1 clockwise) and
+        phase0 generalize to off-origin circles so trajectories can chain
+        several loops (see trajectory_figure8)."""
+        cx, cz = center
         poses = []
         for i in range(n_frames):
-            phi = 2 * np.pi * i / (n_frames - 1)
-            c = np.array([radius * np.sin(phi), 0.05 * np.sin(0.3 * i),
-                          radius * np.cos(phi)])
-            z_cam = np.array([np.cos(phi), 0.0, -np.sin(phi)])  # tangent
+            phi = direction * 2 * np.pi * i / (n_frames - 1) + phase0
+            c = np.array([cx + radius * np.sin(phi), 0.05 * np.sin(0.3 * i),
+                          cz + radius * np.cos(phi)])
+            # heading = d(center)/d(i), the travel direction
+            z_cam = direction * np.array([np.cos(phi), 0.0, -np.sin(phi)])
             y_cam = np.array([0.0, 1.0, 0.0])
             x_cam = np.cross(y_cam, z_cam)
             Rwc = np.stack([x_cam, y_cam, z_cam], axis=1)
@@ -171,6 +184,40 @@ class SyntheticWorld:
             T[:3, 3] = -Rwc.T @ c
             poses.append(T.astype(np.float32))
         return poses
+
+    def trajectory_figure8(
+        self,
+        n_lap: int = 240,
+        radius_a: float = 4.0,
+        radius_b: float = 2.5,
+        lead_a: int = 61,
+        margin_b: int = 50,
+    ):
+        """Two externally tangent circles traversed as a figure-8: lap the
+        A-circle twice (its seam revisit closes loop #1), hand over at the
+        tangency point — where the two circles share position AND heading,
+        so the camera path is C^0/C^1 continuous — then lap the B-circle
+        fully plus a margin (its seam revisit closes loop #2). Two
+        GENUINELY distinct loop-closure events in one sequence: after the
+        first closure merges the A laps, A revisits are covisible (no
+        further event, correct SLAM behavior), while B's seam is new.
+
+        A: center (0,0), counterclockwise. B: center (ra+rb, 0),
+        clockwise, phased so B(0) is the tangency point with matching
+        heading. Returns (poses, meta) with segment boundaries."""
+        lap_a = self.trajectory_circuit(n_lap, radius=radius_a)
+        lap_b = self.trajectory_circuit(
+            n_lap, radius=radius_b, center=(radius_a + radius_b, 0.0),
+            direction=-1.0, phase0=-np.pi / 2,
+        )
+        # A's tangency pass: phi = pi/2 at i = (n-1)/4 — lead_a should
+        # cover it (default 61 ~= 90 deg of a 240-frame lap)
+        poses = lap_a + lap_a[:lead_a] + lap_b + lap_b[:margin_b]
+        meta = dict(
+            n_lap=n_lap, lap1_end=n_lap, handover=n_lap + lead_a,
+            lap_b_end=n_lap + lead_a + n_lap, n_frames=len(poses),
+        )
+        return poses, meta
 
     def render_stereo(self, Tcw: np.ndarray, return_id_map: bool = False):
         """Render (imL, imR) float32 [H,W] in 0..255 for camera pose Tcw.

@@ -268,6 +268,30 @@ class LocalMapper:
             )
 
         self._jit_fuse_batch = jax.jit(_fuse_batch)
+
+        # forward (into 16 targets) AND backward (targets' points into the
+        # current keyframe) fusion as ONE device program: SearchInNeighbors
+        # paid two synchronous launches per keyframe (~25 ms tunnel round
+        # trip each, r5 profile); the two matches are independent given
+        # their host-projected inputs, so one dispatch + one fetch covers
+        # both directions
+        def _fuse_both(kuv, koct, kur, kdesc, kval, uvs, urs, lvls, desc,
+                       viss, b_uv, b_oct, b_ur, b_desc, b_val,
+                       b_uvp, b_urp, b_lvl, b_pdesc, b_vis):
+            fwd = _fuse_vmap(
+                jnp.stack(kuv), jnp.stack(koct), jnp.stack(kur),
+                jnp.stack(kdesc), jnp.stack(kval),
+                jnp.stack(uvs), jnp.stack(urs), jnp.stack(lvls), desc,
+                jnp.stack(viss),
+            )
+            bwd = matchers.fuse_match(
+                b_uv, b_oct, b_ur, b_desc, b_val,
+                b_uvp, b_urp, b_lvl, b_pdesc, b_vis,
+                sf, inv_sig2,
+            )[0]
+            return fwd, bwd
+
+        self._jit_fuse_both = jax.jit(_fuse_both)
     # ------------------------------------------------------- tracker API
     def is_stopped(self) -> bool:
         return self._stopped
@@ -605,10 +629,11 @@ class LocalMapper:
     def _fuse_neighbors(self, kf: int):
         """Reference LocalMapping::SearchInNeighbors (LocalMapping.cpp:433-510).
 
-        Assemble (host frustum gates) under the map lock, run the vmapped
-        matching launches unlocked, apply the merges under the lock —
-        `_apply_fuse_matches` re-validates every pid so mid-flight map
-        mutations are safe."""
+        Assemble (host frustum gates) under the map lock, run BOTH fuse
+        directions as ONE unlocked device launch, apply the merges under
+        the lock — `_apply_fuse_matches` re-validates every pid so
+        mid-flight map mutations are safe."""
+        sh = self.shapes
         with self.lock:
             if kf not in self.map.kf_valid:
                 return
@@ -618,30 +643,38 @@ class LocalMapper:
                 for nb2 in self.map.covisible_keyframes(nb, 5):
                     if nb2 != kf and nb2 not in targets:
                         targets.append(nb2)
-            targets = targets[: self.shapes.fuse_targets_cap]
+            targets = targets[: sh.fuse_targets_cap]
             kp = self.map.kf_point[kf]
             cur_pids = kp[self.map.valid_mask(kp)]
-
-        # forward: fuse current KF's points into ALL targets in one launch
-        self._fuse_into_batch(targets, cur_pids)
-        # backward: fuse all target points into current KF
-        if targets:
-            with self.lock:
-                if kf not in self.map.kf_valid:
-                    return
-                cands = np.unique(
-                    np.concatenate([
-                        self.map.kf_point[t]
-                        for t in targets if t in self.map.kf_valid
-                    ] or [np.zeros(0, np.int64)])
-                )
-                fuse_cands = cands[self.map.valid_mask(cands)]
-            self._fuse_into(kf, fuse_cands)
-
-        # refresh point stats + connections of the current keyframe
+            fwd = self._assemble_fuse_forward_locked(targets, cur_pids)
+            bwd = self._assemble_fuse_backward_locked(kf, targets)
+        # --- unlocked: frustum/scale projections for both directions
+        fwd = self._project_fuse_forward(fwd)
+        bwd = self._project_fuse_backward(bwd)
+        if fwd is None and bwd is None:
+            return
+        # degenerate directions still ride the same program with all-False
+        # visibility (ONE compiled shape)
+        args_f = self._pack_fuse_forward(fwd)
+        args_b = self._pack_fuse_backward(bwd)
+        best_f, best_b = self._jit_fuse_both(*args_f, *args_b)
+        best_f = np.asarray(best_f)
+        best_b = np.asarray(best_b)
         with self.lock:
             if kf not in self.map.kf_valid:
                 return
+            if fwd is not None:
+                nf = len(fwd["pids"])
+                for i, (t, _, _, _, _) in enumerate(fwd["rows"]):
+                    if t in self.map.kf_valid:
+                        self._apply_fuse_matches(
+                            t, fwd["pids"], best_f[i, :nf]
+                        )
+            if bwd is not None:
+                self._apply_fuse_matches(
+                    kf, bwd["pids"], best_b[: len(bwd["pids"])]
+                )
+            # refresh point stats + connections of the current keyframe
             kp = self.map.kf_point[kf]
             pids = kp[kp >= 0]
             self.map.compute_distinctive_descriptors_batch(pids)
@@ -712,59 +745,142 @@ class LocalMapper:
         if survivors:
             self.map.compute_distinctive_descriptors_batch(survivors)
 
-    def _fuse_into_batch(self, targets, pids):
-        """Forward Fuse of one point set into many keyframes: host gates
-        per target (locked), ONE vmapped device launch for the matching
-        (unlocked), merge protocol (locked)."""
+    def _assemble_fuse_forward_locked(self, targets, pids):
+        """Forward-fuse snapshot (caller holds the map lock): the source
+        point tables and each target's pose/center/points — array copies
+        only, so the lock is held briefly."""
         pids = np.asarray(pids, np.int64)
         if pids.size == 0 or not targets:
-            return
+            return None
         sh = self.shapes
-        # snapshot under the lock (array copies only); the per-target
-        # frustum projections run UNLOCKED below — at 16 targets x 2048
-        # points they were ~tens of ms of numpy holding the map lock
-        # against the tracker's frame admin (r5 p50 profile)
-        with self.lock:
-            pids = shapes_mod.select_top(
-                pids, self.map.pt_nobs[pids].astype(np.float64),
-                sh.bucket_select(len(pids), 256, sh.fuse_src_cap),
+        pids = shapes_mod.select_top(
+            pids, self.map.pt_nobs[pids].astype(np.float64),
+            sh.bucket_select(len(pids), 256, sh.fuse_src_cap),
+        )
+        pos, desc, normal, dmin, dmax = self.map.points_array(pids)
+        snaps = []
+        for t in targets:
+            if t not in self.map.kf_valid:
+                continue
+            tp = self.map.kf_point[t]
+            snaps.append((
+                t, self.map.kf_pose[t].astype(np.float64).copy(),
+                self.map.kf_center(t), tp[tp >= 0].copy(),
+            ))
+        if not snaps:
+            return None
+        frames = {s[0]: self.map.kf_frame[s[0]] for s in snaps}
+        return dict(
+            pids=pids, pos=pos, desc=desc, normal=normal, dmin=dmin,
+            dmax=dmax, snaps=snaps, frames=frames,
+        )
+
+    def _assemble_fuse_backward_locked(self, kf: int, targets):
+        """Backward-fuse snapshot (caller holds the map lock): the union
+        of the targets' points not already observed by kf, plus kf's
+        pose/center/frame."""
+        f = self.map.kf_frame[kf]
+        out = dict(frame=f, pids=np.zeros(0, np.int64))
+        if not targets:
+            return out
+        cands = np.unique(
+            np.concatenate([
+                self.map.kf_point[t]
+                for t in targets if t in self.map.kf_valid
+            ] or [np.zeros(0, np.int64)])
+        )
+        pids = cands[self.map.valid_mask(cands)]
+        tp = self.map.kf_point[kf]
+        pids = pids[~np.isin(pids, tp[tp >= 0])]
+        if pids.size == 0:
+            return out
+        pos, desc, normal, dmin, dmax = self.map.points_array(pids)
+        out.update(
+            pids=pids, pos=pos, desc=desc, normal=normal, dmin=dmin,
+            dmax=dmax, T=self.map.kf_pose[kf].astype(np.float64).copy(),
+            Ow=self.map.kf_center(kf),
+        )
+        return out
+
+    def _project_fuse_forward(self, fwd):
+        """Unlocked frustum/scale gates per forward target — at 16
+        targets x 2048 points this was ~tens of ms of numpy that must not
+        hold the map lock against the tracker (r5 p50 profile)."""
+        if fwd is None:
+            return None
+        rows = []
+        for t, T, Ow, tp_pids in fwd["snaps"]:
+            uv, ur, level, visible = self._project_for_fuse(
+                t, fwd["pos"], fwd["normal"], fwd["dmin"], fwd["dmax"],
+                T=T, Ow=Ow,
             )
-            pos, desc, normal, dmin, dmax = self.map.points_array(pids)
-            snaps = []
-            for t in targets:
-                if t not in self.map.kf_valid:
-                    continue
-                tp = self.map.kf_point[t]
-                snaps.append((
-                    t, self.map.kf_pose[t].astype(np.float64).copy(),
-                    self.map.kf_center(t), tp[tp >= 0].copy(),
-                ))
-            frames = {s[0]: self.map.kf_frame[s[0]] for s in snaps}
-        P = sh.bucket(len(pids), 256, sh.fuse_src_cap)
+            # skip points this target already observes (vectorized)
+            visible &= ~np.isin(fwd["pids"], tp_pids)
+            rows.append((t, uv, ur, level, visible))
+        rows = [r for r in rows if r[4].any()]
+        if not rows:
+            return None
+        fwd["rows"] = rows
+        return fwd
+
+    def _project_fuse_backward(self, bwd):
+        if bwd is None or bwd["pids"].size == 0:
+            return None
+        sh = self.shapes
+        uv, ur, level, visible = self._project_for_fuse(
+            None, bwd["pos"], bwd["normal"], bwd["dmin"], bwd["dmax"],
+            T=bwd["T"], Ow=bwd["Ow"],
+        )
+        if not visible.any():
+            return None
+        # only frustum-visible rows go to the device (bounds the bucket)
+        sel = np.nonzero(visible)[0]
+        cap = sh.bucket_select(len(sel), 256, sh.fuse_pt_cap)
+        if len(sel) > cap:
+            sel = sel[:cap]  # overflow returns on a later keyframe
+        bwd.update(
+            pids=bwd["pids"][sel], uv=uv[sel], ur=ur[sel],
+            level=level[sel], desc=bwd["desc"][sel], visible=visible[sel],
+        )
+        return bwd
+
+    def _pack_fuse_forward(self, fwd):
+        """Fixed-bucket device arrays for the forward half of the fused
+        launch; a None direction packs all-False visibility (the program
+        shape never varies)."""
+        sh = self.shapes
+        N = self.config.orb.n_features
+        P = sh.bucket(256, 256, sh.fuse_src_cap)
+        if fwd is None:
+            z2 = np.zeros((P, 2), np.float32)
+            z1 = np.zeros(P, np.float32)
+            zi = np.zeros(P, np.int32)
+            zd = np.zeros((P, 8), np.uint32)
+            zv = np.zeros(P, bool)
+            zf_uv = np.zeros((N, 2), np.float32)
+            zf_f = np.zeros(N, np.float32)
+            zf_i = np.zeros(N, np.int32)
+            zf_d = np.zeros((N, 8), np.uint32)
+            zf_b = np.zeros(N, bool)
+            K = sh.bucket_select(1, 1, sh.fuse_targets_cap)
+            return (
+                (zf_uv,) * K, (zf_i,) * K, (zf_f,) * K, (zf_d,) * K,
+                (zf_b,) * K, (z2,) * K, (z1,) * K, (zi,) * K, zd,
+                (zv,) * K,
+            )
+        P = sh.bucket(len(fwd["pids"]), 256, sh.fuse_src_cap)
 
         def padto(a, fill=0):
             return shapes_mod.pad_rows(a, P, fill)
 
-        rows = []
-        for t, T, Ow, tp_pids in snaps:
-            uv, ur, level, visible = self._project_for_fuse(
-                t, pos, normal, dmin, dmax, T=T, Ow=Ow
-            )
-            # skip points this target already observes (vectorized
-            # over its feature->point table)
-            visible &= ~np.isin(pids, tp_pids)
-            rows.append((t, uv, ur, level, visible))
-        rows = [r for r in rows if r[4].any()]
-        if not rows:
-            return
+        rows = fwd["rows"]
         K = sh.bucket_select(len(rows), 1, sh.fuse_targets_cap)
-
         uvs, urs, lvls, viss = [], [], [], []
         kuv, koct, kur, kdesc, kval = [], [], [], [], []
         no_vis = np.zeros(P, bool)
         for i in range(K):
             t, uv, ur, level, visible = rows[i if i < len(rows) else 0]
-            f = frames[t]
+            f = fwd["frames"][t]
             kuv.append(f.dev.uv)
             koct.append(f.dev.octave)
             kur.append(f.dev.u_right)
@@ -774,68 +890,36 @@ class LocalMapper:
             urs.append(padto(ur))
             lvls.append(padto(level))
             viss.append(padto(visible) if i < len(rows) else no_vis)
-        best = np.asarray(
-            self._jit_fuse_batch(
-                tuple(kuv), tuple(koct), tuple(kur),
-                tuple(kdesc), tuple(kval),
-                tuple(uvs), tuple(urs), tuple(lvls), padto(desc),
-                tuple(viss),
-            )
+        return (
+            tuple(kuv), tuple(koct), tuple(kur), tuple(kdesc), tuple(kval),
+            tuple(uvs), tuple(urs), tuple(lvls), padto(fwd["desc"]),
+            tuple(viss),
         )
-        with self.lock:
-            for i, (t, _, _, _, _) in enumerate(rows):
-                if t in self.map.kf_valid:
-                    self._apply_fuse_matches(t, pids, best[i])
 
-    def _fuse_into(self, kf: int, pids):
-        pids = np.asarray(pids, np.int64)
-        if pids.size == 0:
-            return
+    def _pack_fuse_backward(self, bwd):
         sh = self.shapes
-        # snapshot under the lock; projection math runs unlocked (same
-        # rationale as _fuse_into_batch)
-        with self.lock:
-            if kf not in self.map.kf_valid:
-                return
-            f = self.map.kf_frame[kf]
-            tp = self.map.kf_point[kf]
-            pids = pids[~np.isin(pids, tp[tp >= 0])]
-            if pids.size == 0:
-                return
-            pos, desc, normal, dmin, dmax = self.map.points_array(pids)
-            T_kf = self.map.kf_pose[kf].astype(np.float64).copy()
-            Ow_kf = self.map.kf_center(kf)
-        uv, ur, level, visible = self._project_for_fuse(
-            kf, pos, normal, dmin, dmax, T=T_kf, Ow=Ow_kf
-        )
-        if not visible.any():
-            return
-        # only frustum-visible rows go to the device (bounds the fixed
-        # bucket; invisible rows could never match anyway)
-        sel = np.nonzero(visible)[0]
-        cap = sh.bucket_select(len(sel), 256, sh.fuse_pt_cap)
-        if len(sel) > cap:
-            sel = sel[:cap]  # overflow returns on a later keyframe
-        pids, uv, ur, level = pids[sel], uv[sel], ur[sel], level[sel]
-        desc, visible = desc[sel], visible[sel]
-        P = sh.bucket(len(pids), 256, sh.fuse_pt_cap)
+        N = self.config.orb.n_features
+        if bwd is None:
+            P = sh.bucket(256, 256, sh.fuse_pt_cap)
+            return (
+                np.zeros((N, 2), np.float32), np.zeros(N, np.int32),
+                np.zeros(N, np.float32), np.zeros((N, 8), np.uint32),
+                np.zeros(N, bool),
+                np.zeros((P, 2), np.float32), np.zeros(P, np.float32),
+                np.zeros(P, np.int32), np.zeros((P, 8), np.uint32),
+                np.zeros(P, bool),
+            )
+        P = sh.bucket(len(bwd["pids"]), 256, sh.fuse_pt_cap)
 
         def padto(a, fill=0):
             return shapes_mod.pad_rows(a, P, fill)
 
-        best_idx, best_dist = self._jit_fuse(
-            f.dev.uv, f.dev.octave, f.dev.u_right,
-            f.dev.desc, f.dev.valid,
-            jnp.asarray(padto(uv)),
-            jnp.asarray(padto(ur)),
-            jnp.asarray(padto(level)),
-            jnp.asarray(padto(desc)),
-            jnp.asarray(padto(visible)),
+        f = bwd["frame"]
+        return (
+            f.dev.uv, f.dev.octave, f.dev.u_right, f.dev.desc, f.dev.valid,
+            padto(bwd["uv"]), padto(bwd["ur"]), padto(bwd["level"]),
+            padto(bwd["desc"]), padto(bwd["visible"]),
         )
-        best_idx = np.asarray(best_idx)
-        with self.lock:
-            if kf in self.map.kf_valid:
-                self._apply_fuse_matches(kf, pids, best_idx)
 
     # -------------------------------------------------------------------
 

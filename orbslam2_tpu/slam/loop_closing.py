@@ -178,6 +178,16 @@ class LoopCloser:
         Runs in the mapping worker thread when the pipeline is threaded;
         each phase manages the map lock (device solves run outside it)."""
         closed = False
+        # the keyframe's BoW transform is a device round trip (~25 ms over
+        # the tunnel): run it BEFORE taking the map lock — frame features
+        # are immutable snapshots, and detect_loop_candidates excludes the
+        # query keyframe explicitly, so early registration is safe (the
+        # reference adds at the end of DetectLoop, KeyFrameDatabase::add)
+        if (
+            kf in self.map.kf_frame
+            and kf not in self.reloc.database.kf_words
+        ):
+            self.reloc.add_keyframe(kf)
         if (
             self.map.n_keyframes() > MIN_LOOP_GAP
             and kf >= self.last_loop_kf + MIN_LOOP_GAP

@@ -343,7 +343,8 @@ class System:
             ))
             Kt = sh.bucket_select(2, 1, sh.fuse_targets_cap)
             Ps = sh.bucket(256, 256, sh.fuse_src_cap)
-            run("fuse_batch", lambda: lm._jit_fuse_batch(
+            Pb = sh.bucket(256, 256, sh.fuse_pt_cap)
+            run("fuse_both", lambda: lm._jit_fuse_both(
                 (zeros_feat["uv"],) * Kt, (zeros_feat["octave"],) * Kt,
                 (zeros_feat["u_right"],) * Kt, (zeros_feat["desc"],) * Kt,
                 (zeros_feat["valid"],) * Kt,
@@ -352,17 +353,14 @@ class System:
                 (np.zeros(Ps, np.int32),) * Kt,
                 np.zeros((Ps, 8), np.uint32),
                 (np.zeros(Ps, bool),) * Kt,
-            ))
-            Pb = sh.bucket(256, 256, sh.fuse_pt_cap)
-            run("fuse_single", lambda: lm._jit_fuse(
                 zeros_feat["uv"], zeros_feat["octave"],
                 zeros_feat["u_right"], zeros_feat["desc"],
                 zeros_feat["valid"],
-                jnp.asarray(np.zeros((Pb, 2), np.float32)),
-                jnp.asarray(np.zeros(Pb, np.float32)),
-                jnp.asarray(np.zeros(Pb, np.int32)),
-                jnp.asarray(np.zeros((Pb, 8), np.uint32)),
-                jnp.asarray(np.zeros(Pb, bool)),
+                np.zeros((Pb, 2), np.float32),
+                np.zeros(Pb, np.float32),
+                np.zeros(Pb, np.int32),
+                np.zeros((Pb, 8), np.uint32),
+                np.zeros(Pb, bool),
             ))
 
         if self.relocalizer is not None:

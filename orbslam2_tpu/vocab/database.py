@@ -28,15 +28,20 @@ from .bow import l1_score_sparse
 class KeyFrameDatabase:
     def __init__(self, n_words: int):
         self.n_words = n_words
-        #: word id -> np.int64 array of keyframes containing it. Arrays
-        #: are append-friendly python lists compiled to arrays lazily.
-        self.inverted: Dict[int, List[int]] = {}
         self.kf_words: Dict[int, np.ndarray] = {}  # kf -> sorted unique word ids
         self.kf_bow: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}  # sparse (wid, w)
         #: kf -> per-feature FeatureVector node ids [N] int32 (-1 invalid)
         #: — the reference KeyFrame's mFeatVec analog (KeyFrame.cpp:51-53),
         #: used by the node-bucketed SearchByBoW in loop closing
         self.kf_nodes: Dict[int, np.ndarray] = {}
+        #: flat postings store (word, kf) with amortized-doubling append —
+        #: the inverted file as two parallel arrays. A query is one
+        #: np.isin + bincount pass instead of a per-word python list walk
+        #: (the list walk was ~half the per-keyframe 'Loop detection' span)
+        self._post_w = np.empty(1 << 14, np.int64)
+        self._post_kf = np.empty(1 << 14, np.int64)
+        self._post_n = 0
+        self._erased: Set[int] = set()
 
     def add(self, kf: int, words: np.ndarray, bow, nodes: np.ndarray = None):
         """words: per-descriptor word ids [N] (-1 invalid); bow: sparse
@@ -47,42 +52,50 @@ class KeyFrameDatabase:
         self.kf_bow[kf] = bow
         if nodes is not None:
             self.kf_nodes[kf] = nodes
-        for w in uw.tolist():
-            self.inverted.setdefault(w, []).append(kf)
+        self._erased.discard(kf)
+        n, m = self._post_n, len(uw)
+        while n + m > len(self._post_w):
+            self._post_w = np.concatenate([self._post_w, np.empty_like(self._post_w)])
+            self._post_kf = np.concatenate([self._post_kf, np.empty_like(self._post_kf)])
+        self._post_w[n : n + m] = uw
+        self._post_kf[n : n + m] = kf
+        self._post_n = n + m
 
     def erase(self, kf: int):
-        for w in self.kf_words.pop(kf, ()):
-            lst = self.inverted.get(int(w))
-            if lst and kf in lst:
-                lst.remove(kf)
+        if kf in self.kf_words:
+            self._erased.add(kf)
+        self.kf_words.pop(kf, None)
         self.kf_bow.pop(kf, None)
         self.kf_nodes.pop(kf, None)
 
     def clear(self):
-        self.inverted.clear()
         self.kf_words.clear()
         self.kf_bow.clear()
         self.kf_nodes.clear()
+        self._post_n = 0
+        self._erased.clear()
 
     # ------------------------------------------------------------------
 
     def _common_words(self, words: np.ndarray, exclude: Set[int]):
-        """Shared-word counts per keyframe: one concatenation + bincount
-        over the query words' inverted lists (O(total postings))."""
-        inv = self.inverted
-        lists = [
-            inv[w]
-            for w in np.unique(words[words >= 0]).tolist()
-            if w in inv
-        ]
-        if not lists:
+        """Shared-word counts per keyframe: one vectorized membership +
+        bincount pass over the flat postings store (O(total postings))."""
+        n = self._post_n
+        if n == 0:
             return {}
-        flat = np.concatenate([np.asarray(l, np.int64) for l in lists])
-        kfs, counts = np.unique(flat, return_counts=True)
-        if exclude:
-            keep = ~np.isin(kfs, np.fromiter(exclude, np.int64, len(exclude)))
-            kfs, counts = kfs[keep], counts[keep]
-        return {int(k): int(c) for k, c in zip(kfs, counts)}
+        qw = np.unique(words[words >= 0])
+        if qw.size == 0:
+            return {}
+        sel = np.isin(self._post_w[:n], qw, assume_unique=False)
+        kf_hits = self._post_kf[:n][sel]
+        if kf_hits.size == 0:
+            return {}
+        counts = np.bincount(kf_hits)
+        kfs = np.nonzero(counts)[0]
+        skip = self._erased | exclude
+        return {
+            int(k): int(counts[k]) for k in kfs if int(k) not in skip
+        }
 
     @staticmethod
     def _l1_score(v1, v2) -> float:

@@ -32,8 +32,7 @@ def _world():
 
 
 def _poses():
-    lap = _world().trajectory_circuit(240)
-    return lap + lap + lap[:24]
+    return _world().trajectory_figure8()[0]
 
 
 def _render_chunk(args):
@@ -54,7 +53,7 @@ def main():
     n = len(poses)
     cache_dir = os.path.join(REPO, ".render_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    key = f"bench_s{world.seed}_n{world.n_points}_f{n}_v2"
+    key = f"bench_s{world.seed}_n{world.n_points}_f{n}_v3"
     path = os.path.join(cache_dir, key + ".npz")
     if os.path.exists(path):
         print(f"already cached: {path}")
