@@ -372,6 +372,26 @@ def main():
         rmse_kf = ate_rmse(kf_est, kf_gt)
     print(f"# keyframe ATE (post EG+GBA): {rmse_kf:.3f} m over "
           f"{len(kf_pairs)} KFs", file=sys.stderr)
+    # per-segment online ATE: the online trajectory cannot benefit from a
+    # closure retroactively, so the A-circle (pre/post loop #1) and the
+    # B-circle (drifts until loop #2 near its end) read separately
+    seg_pairs = [
+        (i, g, e.Tcw) for i, (g, e) in enumerate(zip(poses_gt, traj))
+        if e.Tcw is not None and not e.lost
+    ]
+    ho = seq_meta["handover"]
+    for name, sel in (
+        ("A-laps", [p for p in seg_pairs if p[0] < ho]),
+        ("B-lap", [p for p in seg_pairs if p[0] >= ho]),
+    ):
+        if len(sel) >= 3:
+            g_ = np.stack([(-T[:3, :3].T @ T[:3, 3]) for _, T, _ in sel])
+            e_ = np.stack([(-T[:3, :3].T @ T[:3, 3]) for _, _, T in sel])
+            print(
+                f"# online ATE[{name}]: {ate_rmse(e_, g_):.3f} m "
+                f"({len(sel)} frames)",
+                file=sys.stderr,
+            )
 
     # loop-closure gate trace artifact (why candidates were rejected),
     # annotated with the GT distance between the two keyframes' true
@@ -456,6 +476,21 @@ def main():
         f"frames ~{[int(round((a - t0) * fps)) for a, b in cw]})",
         file=sys.stderr,
     )
+    # worst-frame attribution: lock wait (assemble/apply) vs device step
+    fb = sys_.tracker.frame_breakdown
+    if fb:
+        arr = np.asarray(fb[-n_frames:])
+        tot = arr.sum(axis=1)
+        j = int(np.argmax(tot))
+        a_, s_, p_ = arr[j] * 1e3
+        print(
+            f"# worst fused frame: assemble={a_:.0f}ms step={s_:.0f}ms "
+            f"apply={p_:.0f}ms; medians "
+            f"assemble={np.median(arr[:,0])*1e3:.1f} "
+            f"step={np.median(arr[:,1])*1e3:.1f} "
+            f"apply={np.median(arr[:,2])*1e3:.1f}",
+            file=sys.stderr,
+        )
     print(
         f"# compiles: warmup={n_compiles_warmup} timed_window={n_compiles_timed} "
         f"(target 0) precompile={t_pre:.1f}s warmup={t_warm:.1f}s "

@@ -721,6 +721,10 @@ def ba_solve_pm_interruptible(
     between chunks."""
     if should_abort is None:
         should_abort = lambda: False
+    # one explicit upload: assembly hands numpy leaves (it runs under the
+    # map lock and must not pay the ~10 MB transfer there); without this,
+    # every jitted step call would re-stage the host arrays
+    prob = jax.tree.map(jnp.asarray, prob)
 
     def phase(prob_, state, n_iters):
         done = 0

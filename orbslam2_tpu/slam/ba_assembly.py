@@ -130,15 +130,19 @@ def assemble_pm_problem(
     valid[:P0] = sel_c
     edge_kf[:P0] = np.where(sel_c, kf_c, -1)
 
+    # numpy leaves on purpose: assembly runs under the map lock, and the
+    # ~10 MB host->device upload (tier-2 obs tables, ~140 ms over the
+    # tunnel) must happen at the solver's first dispatch OUTSIDE the lock,
+    # not here while the tracker waits
     prob = ba.BAProblemPM(
-        poses=jnp.asarray(poses),
-        points=jnp.asarray(points),
-        obs_kf=jnp.asarray(obs_kf),
-        obs=jnp.asarray(obs),
-        inv_sigma2=jnp.asarray(isig),
-        is_stereo=jnp.asarray(ster),
-        edge_valid=jnp.asarray(valid),
-        pose_fixed=jnp.asarray(fixed_mask),
+        poses=poses,
+        points=points,
+        obs_kf=obs_kf,
+        obs=obs,
+        inv_sigma2=isig,
+        is_stereo=ster,
+        edge_valid=valid,
+        pose_fixed=fixed_mask,
     )
     meta = PMMeta(kf_index, pt_index, fixed_mask, edge_kf, pts, free_kfs)
     return prob, meta

@@ -937,12 +937,11 @@ class LocalMapper:
         # iterations; on abort the partial estimate is still written back
         res = ba.ba_solve_pm_interruptible(
             prob, self.cam, should_abort=lambda: self._abort_ba,
-            sync_every=10,  # abort latency vs sync cost: each sync is a
-            # full tunnel round trip (~30 ms measured r5); at the small
-            # BA tier 10 LM iterations are ~21 ms of device time (r5
-            # profile: 10.5 ms per 5-iteration chunk), so the tracker's
-            # InterruptBA still preempts within ~a frame period while the
-            # 5+10 schedule pays 2 round trips instead of 3
+            sync_every=32,  # no mid-phase syncs: each sync is a full
+            # tunnel round trip (~30 ms measured r5) while the whole
+            # 5+10 schedule is 30-110 ms of device time depending on the
+            # tier — the abort check between the two phases preempts
+            # within ~a frame period, which is all InterruptBA needs
         )
         with self.lock:
             apply_pm_result(self.map, res, meta)

@@ -61,14 +61,20 @@ class ShapePolicy:
     #: merged-map tiers (measured r3: 4 ms vs 36 ms per LM iteration).
     #: the top tier must cover the flagship run's full map — r4's bench
     #: map reached ~17k points (123 KFs) and overflowing 16384 forced a
-    #: 9-second mid-run GBA recompile
-    ba_tiers: tuple = ((64, 8192, 8), (160, 24576, 16))
+    #: 9-second mid-run GBA recompile; the r5 figure-8 map reaches
+    #: ~170 KFs / 24k points and overflowing (160, 24576) cost 34 s of
+    #: mid-run compiles, hence the third tier
+    ba_tiers: tuple = (
+        (64, 8192, 8), (96, 12288, 16), (160, 24576, 16), (320, 40960, 16),
+    )
     #: Sim3 correspondence rows (loop closing): base BoW matches plus the
     #: guided-search extension can reach ~2x n_features
     sim3_cap: int = 4096
-    #: essential-graph vertices / edges
+    #: essential-graph vertices / edges (the r5 figure-8 map's essential
+    #: graph exceeds 1024 edges — spanning tree + covis>=100 + loop edges
+    #: over ~170 keyframes)
     pg_k_cap: int = 256
-    pg_e_cap: int = 1024
+    pg_e_cap: int = 2048
     #: relocalization candidate axis
     reloc_cands: int = 5
 

@@ -428,6 +428,15 @@ class System:
                 S0, X, X, uv, uv, me, me, val, cam, fix_scale=lc.fix_scale,
             ))
             Pf = sh.bucket(256, 256, sh.fuse_pt_cap)
+            Ktc = sh.bucket_select(1, 1, sh.fuse_targets_cap)
+            run("loop_fuse_proj_batch", lambda: lc._jit_fuse_proj_batch(
+                (zeros_feat["uv"],) * Ktc, (zeros_feat["octave"],) * Ktc,
+                (zeros_feat["desc"],) * Ktc, (zeros_feat["valid"],) * Ktc,
+                (np.zeros((Pf, 2), np.float32),) * Ktc,
+                (np.zeros(Pf, np.int32),) * Ktc,
+                (np.zeros((Pf, 8), np.uint32),) * Ktc,
+                (np.zeros(Pf, bool),) * Ktc,
+            ))
             for th in (10.0, 7.5, 4.0):  # static arg: one program per th
                 run(f"loop_fuse_{th}", lambda th=th: lc._jit_fuse_match(
                     zeros_feat["uv"], zeros_feat["octave"],

@@ -75,6 +75,10 @@ class Tracker:
         self.events: List[dict] = []
         #: (frame, n_match1, n_keep1, n_new_local, n_inliers) ring buffer
         self.fused_stats: List[tuple] = []
+        #: per-frame (assemble_s, step_s, apply_s) wall breakdown of the
+        #: fused path — lets the bench attribute its worst frame to the
+        #: lock wait (assemble/apply) vs the device step
+        self.frame_breakdown: List[tuple] = []
 
         N = config.orb.n_features
         self._N = N
@@ -353,13 +357,18 @@ class Tracker:
     def track(self, im_left, im_right, timestamp: float) -> Optional[np.ndarray]:
         """Process one stereo frame; returns Tcw or None when lost."""
         self.last_images = (im_left, im_right)
+
         # both paths quantize to uint8 before upload: over the tunnel the
         # f32 image pair costs ~28 ms more per frame than uint8, and real
-        # camera streams are uint8 anyway
-        images_u8 = np.stack([
-            np.clip(np.rint(np.asarray(im_left)), 0, 255),
-            np.clip(np.rint(np.asarray(im_right)), 0, 255),
-        ]).astype(np.uint8)
+        # camera streams are uint8 anyway. Already-uint8 inputs pass
+        # through (the float round trip was ~10 ms/frame of host time)
+        def _u8(im):
+            a = np.asarray(im)
+            if a.dtype == np.uint8:
+                return a
+            return np.clip(np.rint(a), 0, 255).astype(np.uint8)
+
+        images_u8 = np.stack([_u8(im_left), _u8(im_right)])
         if self._can_fuse():
             # adaptive pipelining: hide the device round trip only while
             # support is comfortable — the one-frame lag costs matches,
@@ -370,24 +379,38 @@ class Tracker:
             ):
                 return self._track_pipelined(images_u8, timestamp)
             self.flush_pipeline()
+            import time as _time
+
+            _t0 = _time.perf_counter()
             with self._span("Fused assemble"):
                 with self.map.lock:
                     args, aux = self._assemble_fused(images_u8)
+            _t1 = _time.perf_counter()
             with self._span("Fused frame step"):
                 feats, host = self._jit_full_step(*args)
-                # ONE batched sync per frame, outside the map lock so the
-                # mapping/loop workers run during the device round trip.
-                # The frame's feature arrays ride the same transfer: a
-                # keyframe-creating frame would otherwise lazy-fetch them
-                # for a second ~30 ms tunnel round trip (r5: 'New keyframe
-                # creation' 56 ms x 115, most of it that hidden fetch)
-                host, fd_host = jax.device_get((host, feats))
+                # the synchronous per-frame fetch carries ONLY the small
+                # step outputs; the frame's feature arrays (~70 KB — ~15 ms
+                # of tunnel bandwidth at the measured ~5 MB/s) START their
+                # transfer here asynchronously and are completed lazily by
+                # the first host access (keyframe creation, ~29% of
+                # frames) — by then the DMA has long finished, so neither
+                # path pays the transfer in its latency
+                for leaf in jax.tree_util.tree_leaves(feats):
+                    try:
+                        leaf.copy_to_host_async()
+                    except AttributeError:  # pragma: no cover
+                        break
+                host = jax.device_get(host)
             frame = FrameHost(feats, timestamp, self.frame_id, eager=False)
-            frame.attach_host(fd_host)
             self.frame_id += 1
+            _t2 = _time.perf_counter()
             with self._span("Fused apply"):
                 with self.map.lock:
                     self._track(frame, fused=(host, aux))
+            _t3 = _time.perf_counter()
+            self.frame_breakdown.append((_t1 - _t0, _t2 - _t1, _t3 - _t2))
+            if len(self.frame_breakdown) > 1200:
+                del self.frame_breakdown[:400]
             return frame.Tcw if self.state == TrackingState.OK else None
         self.flush_pipeline()
         # ORB extraction and stereo matching are ONE fused device program
