@@ -560,7 +560,10 @@ class SlamMap:
         self.pt_normal[pid] = np.mean(normals, axis=0)
         ref = int(self.pt_ref_kf[pid])
         if ref not in self.kf_valid:
-            ref = next(iter(obs))
+            # deterministic fallback: the smallest-id valid observer
+            # (dict order and the dense mirror's slot order diverge after
+            # swap-removes; min-id is representation-independent)
+            ref = min(k for k in obs if k in self.kf_valid)
         dist = np.linalg.norm(pos - self.kf_center(ref))
         idx = obs.get(ref)
         level = int(self.kf_frame[ref].octave[idx]) if idx is not None else 0
@@ -644,67 +647,70 @@ class SlamMap:
         self.pt_desc[pids] = arr[np.arange(Pm), best]
 
     def update_normals_batch(self, pids):
-        """Batched UpdateNormalAndDepth over many points."""
+        """Batched UpdateNormalAndDepth over many points, fully
+        vectorized over the dense observation mirror — the per-point dict
+        walk held the map lock ~0.5-1 s at whole-map scale (essential
+        graph / GBA write-backs refresh all ~23k points)."""
         self.version += 1
-        rows_p, rows_kf = [], []
-        keep, ref_l, lvl_l = [], [], []
-        kf_row: Dict[int, int] = {}
-        centers: List[np.ndarray] = []
-
-        def _row(kf: int) -> int:
-            r = kf_row.get(kf)
-            if r is None:
-                r = len(centers)
-                kf_row[kf] = r
-                centers.append(self.kf_center(kf))
-            return r
-
-        for p in pids:
-            p = int(p)
-            if p not in self.pt_valid:
-                continue
-            obs = self.pt_obs.get(p)
-            if not obs:
-                continue
-            valid_kfs = [k for k in obs if k in self.kf_valid]
-            if not valid_kfs:
-                continue
-            i = len(keep)
-            keep.append(p)
-            for k in valid_kfs:
-                rows_p.append(i)
-                rows_kf.append(_row(k))
-            ref = int(self.pt_ref_kf[p])
-            if ref not in self.kf_valid:
-                ref = next(iter(obs))
-            ref_l.append(_row(ref))
-            idx = obs.get(ref)
-            lvl_l.append(
-                int(self.kf_frame[ref].octave[idx]) if idx is not None else 0
-            )
-        if not keep:
+        pids = np.asarray(pids, np.int64).ravel()
+        if pids.size == 0:
             return
-        P = len(keep)
-        keep_ids = np.asarray(keep)
-        pos = self.pt_pos[keep_ids]
-        C = np.asarray(centers, np.float64)
-        rp = np.asarray(rows_p)
-        rk = np.asarray(rows_kf)
-        v = pos[rp] - C[rk]
-        n = np.linalg.norm(v, axis=1)
-        ok = n > 1e-12
-        v = np.where(ok[:, None], v / np.maximum(n, 1e-12)[:, None], 0.0)
-        sums = np.zeros((P, 3))
-        np.add.at(sums, rp, v)
-        cnt = np.bincount(rp[ok], minlength=P).astype(np.float64)
-        dist = np.linalg.norm(pos - C[np.asarray(ref_l)], axis=1)
-        maxd = dist * self.scale_factors[np.asarray(lvl_l)]
+        pids = pids[self.valid_mask(pids)]
+        if pids.size == 0:
+            return
+        rows_kf = self.pt_obs_kf[pids]  # [M,D]
+        rows_ix = self.pt_obs_idx[pids]
+        ok = self.kf_valid.mask_of(rows_kf)
+        has = ok.any(axis=1)
+        pids, rows_kf, rows_ix, ok = (
+            pids[has], rows_kf[has], rows_ix[has], ok[has],
+        )
+        if pids.size == 0:
+            return
+        M = len(pids)
+        # reference keyframe per point (falling back to the smallest-id
+        # valid observer when the recorded ref is gone — matches the
+        # scalar update_normal_and_depth)
+        ref = self.pt_ref_kf[pids].copy()
+        ref_ok = self.kf_valid.mask_of(ref)
+        ar = np.arange(M)
+        min_valid = np.where(
+            ok, rows_kf.astype(np.int64), np.iinfo(np.int64).max
+        ).min(axis=1)
+        ref = np.where(ref_ok, ref, min_valid)
+        # camera centers of every involved keyframe (observers + refs)
+        uk = np.unique(np.concatenate([rows_kf[ok], ref]))
+        C = np.stack([self.kf_center(int(k)) for k in uk])
+        lut = np.full(int(uk.max()) + 2, 0, np.int64)
+        lut[uk] = np.arange(len(uk))
+        crow = lut[np.clip(rows_kf, 0, len(lut) - 1)]
+        pos = self.pt_pos[pids]
+        diff = pos[:, None, :] - C[crow]  # [M,D,3]
+        n = np.linalg.norm(diff, axis=2)
+        okn = ok & (n > 1e-12)
+        unit = np.where(
+            okn[..., None], diff / np.maximum(n, 1e-12)[..., None], 0.0
+        )
+        cnt = okn.sum(axis=1).astype(np.float64)
+        sums = unit.sum(axis=1)
+        # scale band: octave of the ref keyframe's observation (0 when the
+        # ref does not observe the point — dict-version semantics)
+        is_ref = ok & (rows_kf == ref[:, None])
+        ref_has = is_ref.any(axis=1)
+        ref_idx = rows_ix[ar, np.argmax(is_ref, axis=1)]
+        lvl = np.zeros(M, np.int64)
+        for k in np.unique(ref[ref_has]).tolist():
+            selk = ref_has & (ref == k)
+            lvl[selk] = self.kf_frame[k].octave[ref_idx[selk]]
+        dist = np.linalg.norm(
+            pos - C[lut[np.clip(ref, 0, len(lut) - 1)]], axis=1
+        )
+        maxd = dist * self.scale_factors[lvl]
         mind = maxd / self.scale_factors[-1]
-        has = cnt > 0
-        upd = keep_ids[has]
-        self.pt_normal[upd] = sums[has] / cnt[has, None]
-        self.pt_max_dist[upd] = maxd[has]
-        self.pt_min_dist[upd] = mind[has]
+        upd = cnt > 0
+        self.pt_normal[pids[upd]] = sums[upd] / cnt[upd, None]
+        self.pt_max_dist[pids[upd]] = maxd[upd]
+        self.pt_min_dist[pids[upd]] = mind[upd]
 
     def predict_scale(self, pid: int, dist: float) -> int:
         """Reference MapPoint::PredictScale (MapPoint.cpp:367-399)."""
