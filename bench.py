@@ -6,10 +6,10 @@ The reference's real-time budget is the 20 fps EuRoC inter-frame gap
 driver must finish rectification + the FULL TrackStereo (ORB extraction,
 stereo matching, pose prediction, local-map tracking, keyframe decision,
 with mapping/loop threads running) inside 50 ms/frame. We measure the
-same thing: `System.track_stereo` over a 240-frame synthetic circuit at
+same thing: `System.track_stereo` over a 591-frame synthetic figure-8 at
 EuRoC scale (752x480 stereo, 1200 ORB features, 8 levels) with local
 mapping AND loop closing enabled on the threaded pipeline — the sequence
-closes a loop (essential graph + global BA included in the wall time).
+closes TWO distinct loops (essential graph + global BA in the wall time).
 
 Compile discipline: the shape policy is FIXED (one shape per device
 program), the rare-event programs are precompiled, the warmup frames

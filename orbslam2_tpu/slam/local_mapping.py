@@ -357,6 +357,12 @@ class LocalMapper:
         self._accept = False  # reference SetAcceptKeyFrames(false)
         try:
             with self.lock:
+                # a queued keyframe may have been culled by a previous
+                # keyframe's KeyFrameCulling pass before this worker got
+                # to it (the reference's isBad() guards cover the same
+                # race)
+                if kf not in self.map.kf_valid:
+                    return
                 with self._span("Keyframe insertion"):
                     self.map.update_connections(kf)
                 with self._span("Map point culling"):
@@ -974,10 +980,18 @@ class LocalMapper:
     def _cull_keyframes(self, kf: int):
         """Reference LocalMapping::KeyFrameCulling (LocalMapping.cpp:609-670):
         a local keyframe is redundant if >=90% of its points are seen by >=3
-        other keyframes at the same or finer scale."""
+        other keyframes at the same or finer scale.
+
+        Still-QUEUED keyframes are never culled: in the reference a
+        keyframe gains covisibility links only when the mapping thread
+        processes it (ProcessNewKeyFrame), so KeyFrameCulling can never
+        see an unprocessed keyframe — here the tracker links at creation
+        time, and culling a queued keyframe would silently drop its
+        triangulation pass (the map starves and tracking dies)."""
         m = self.map
+        queued = set(self._queue)
         for k in m.covisible_keyframes(kf):
-            if k == 0 or k not in m.kf_valid:
+            if k == 0 or k not in m.kf_valid or k in queued:
                 continue
             f = m.kf_frame[k]
             pids = m.kf_point[k]

@@ -216,7 +216,7 @@ class LoopCloser:
             kf in self.map.kf_frame
             and kf not in self.reloc.database.kf_words
         ):
-            self.reloc.add_keyframe(kf)
+            self.reloc.add_keyframe(kf, lock=self.lock)
         if (
             self.map.n_keyframes() > MIN_LOOP_GAP
             and kf >= self.last_loop_kf + MIN_LOOP_GAP
@@ -244,6 +244,8 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def _detect_loop(self, kf: int) -> bool:
+        if kf not in self.map.kf_valid:  # culled while queued
+            return False
         db = self.reloc.database
         if kf not in db.kf_words:
             self.reloc.add_keyframe(kf)
@@ -992,6 +994,8 @@ class LoopCloser:
             Rv = np.zeros((K, 3, 3), np.float32)
             tv = np.zeros((K, 3), np.float32)
             sv = np.ones(K, np.float32)
+            # pre-correction poses per vertex (measurement source)
+            T_old = np.zeros((K, 4, 4), np.float64)
             for k, i in index.items():
                 if k in corrected:
                     Rc, tc, sc = corrected[k]
@@ -999,52 +1003,37 @@ class LoopCloser:
                 else:
                     T = m.kf_pose[k]
                     Rv[i], tv[i] = T[:3, :3], T[:3, 3]
+                T_old[i] = (
+                    non_corrected[k]
+                    if k in non_corrected
+                    else m.kf_pose[k].astype(np.float64)
+                )
 
-            def siw_old(k):
-                if k in non_corrected:
-                    T = non_corrected[k]
-                else:
-                    T = m.kf_pose[k].astype(np.float64)
-                return T[:3, :3], T[:3, 3], 1.0
-
-            edges = []  # (i, j, Rji, tji, sji)
+            # collect edge index pairs first; the Sji measurements are
+            # computed in ONE batched einsum pass below (the per-edge
+            # python 3x3 math was ~100-200 ms of the locked assembly at
+            # ~2.5k edges)
+            pairs_old: List[Tuple[int, int]] = []
+            pairs_new: List[Tuple[int, int]] = []
             added = set()
 
-            def add_edge(ka, kb):
+            def add_edge(ka, kb, new=False):
                 if ka not in index or kb not in index:
                     return
                 pair = (min(ka, kb), max(ka, kb))
                 if pair in added:
                     return
                 added.add(pair)
-                # measurement Sji = Sj ∘ Si^-1 from (pre-correction) poses
-                Ri, ti, si = siw_old(ka)
-                Rj, tj, sj = siw_old(kb)
-                Rji = Rj @ Ri.T
-                tji = tj - Rji @ ti
-                edges.append((index[ka], index[kb], Rji, tji, 1.0))
+                (pairs_new if new else pairs_old).append(
+                    (index[ka], index[kb])
+                )
 
             # loop connections (use corrected/current poses — these are the
             # new constraints discovered by fusion; reference uses current
             # estimates)
             for ka, fresh in loop_connections.items():
                 for kb in fresh:
-                    if ka not in index or kb not in index:
-                        continue
-                    pair = (min(ka, kb), max(ka, kb))
-                    if pair in added:
-                        continue
-                    added.add(pair)
-
-                    def siw_now(i):
-                        return Rv[i].astype(np.float64), tv[i].astype(np.float64)
-
-                    Ri, ti = siw_now(index[ka])
-                    Rj, tj = siw_now(index[kb])
-                    Rji = Rj @ Ri.T
-                    tji = tj - Rji @ ti
-                    edges.append((index[ka], index[kb], Rji, tji, 1.0))
-
+                    add_edge(ka, kb, new=True)
             for k in kfs:
                 par = m.parent.get(k)
                 if par is not None and par in index:
@@ -1058,11 +1047,35 @@ class LoopCloser:
             # the fresh loop edge between current and matched KF
             add_edge(cur_kf, self._matched_kf)
 
+            def batch_meas(pairs, R_src, t_src):
+                if not pairs:
+                    return [], np.zeros((0, 3, 3)), np.zeros((0, 3))
+                ia = np.asarray([p[0] for p in pairs])
+                ib = np.asarray([p[1] for p in pairs])
+                Ri, ti = R_src[ia], t_src[ia]
+                Rj, tj = R_src[ib], t_src[ib]
+                # Sji = Sj ∘ Si^-1 (scale 1): Rji = Rj Ri^T,
+                # tji = tj - Rji ti
+                Rji = np.einsum("ebc,edc->ebd", Rj, Ri)
+                tji = tj - np.einsum("ebc,ec->eb", Rji, ti)
+                return list(zip(ia, ib)), Rji, tji
+
+            po, Rji_o, tji_o = batch_meas(
+                pairs_old, T_old[:, :3, :3], T_old[:, :3, 3]
+            )
+            pn, Rji_n, tji_n = batch_meas(
+                pairs_new, Rv.astype(np.float64), tv.astype(np.float64)
+            )
+            edges = [
+                (int(a), int(b), Rji_o[e], tji_o[e], 1.0)
+                for e, (a, b) in enumerate(po)
+            ] + [
+                (int(a), int(b), Rji_n[e], tji_n[e], 1.0)
+                for e, (a, b) in enumerate(pn)
+            ]
+
             # snapshot of pre-optimization poses for the point correction
-            old_poses = {k: m.kf_pose[k].astype(np.float64).copy() for k in kfs}
-            for k in non_corrected:
-                if k in m.kf_valid:
-                    old_poses[k] = non_corrected[k].copy()
+            old_poses = {k: T_old[i] for k, i in index.items()}
             return kfs, index, Rv, tv, sv, edges, old_poses
 
         with self.lock:

@@ -123,11 +123,24 @@ class Relocalizer:
         )
         return np.asarray(words), np.asarray(nodes)
 
-    def add_keyframe(self, kf: int):
-        f = self.map.kf_frame[kf]
+    def add_keyframe(self, kf: int, lock=None):
+        """Register a keyframe in the BoW database. The transform runs on
+        the frame's immutable feature snapshot (safe without the map
+        lock); with `lock` given, the database insertion re-validates the
+        keyframe under it — a mapping worker may cull a queued keyframe
+        between the caller's check and here, and inserting a culled
+        keyframe would leak a dead entry past the erase callback."""
+        f = self.map.kf_frame.get(kf)
+        if f is None:
+            return
         words, nodes = self.compute_bow_nodes(f.desc, f.valid)
         vec = bow_mod.bow_sparse(words, self._word_weight_np)
-        self.database.add(kf, words, vec, nodes=nodes)
+        if lock is None:
+            self.database.add(kf, words, vec, nodes=nodes)
+            return
+        with lock:
+            if kf in self.map.kf_valid:
+                self.database.add(kf, words, vec, nodes=nodes)
 
     def remove_keyframe(self, kf: int):
         self.database.erase(kf)
